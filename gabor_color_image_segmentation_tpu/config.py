@@ -1,0 +1,232 @@
+"""Frozen dataclass configs + the five acceptance presets.
+
+The preset list mirrors BASELINE.json ``configs[0..4]`` verbatim (SURVEY.md
+§5.6). All parameters the reference family exposes are here: Gabor bank
+parameterization (scales, orientations, frequencies), color space, cluster
+method (kmeans/gmm) and k, superpixel count, cut method (ncut/min-cut),
+batch size and mesh shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Gabor bank
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BankConfig:
+    """Gabor filter-bank parameterization: scales x orientations x frequencies.
+
+    * ``scales``      — Gaussian-envelope sigmas (pixels), one per scale.
+    * ``orientations`` — number of evenly spaced orientations in [0, pi).
+    * ``frequencies`` — absolute spatial frequencies (cycles/pixel). ``None``
+      derives one frequency per scale from a 1-octave bandwidth:
+      sigma/lambda = 0.56 (Jain-Farrokhnia convention), i.e. f = 0.56/sigma.
+    * ``gamma``       — envelope aspect ratio (1.0 = isotropic).
+    * ``psi``         — phase offset of the complex carrier. Irrelevant to the
+      energy magnitude; kept for kernel-level parity with
+      ``cv2.getGaborKernel`` (whose default is pi/2).
+    * ``truncate``    — kernel half-size = ceil(truncate * sigma).
+    * ``max_ksize``   — odd cap on kernel side length (VMEM/FLOP budget).
+    * ``smoothing``   — Gaussian-energy smoothing sigma = smoothing * sigma_s.
+    * ``smooth_truncate`` — smoothing kernel radius = ceil(smooth_truncate*sigma).
+    """
+
+    scales: Tuple[float, ...] = (2.0, 4.0, 8.0)
+    orientations: int = 4
+    frequencies: Optional[Tuple[float, ...]] = None
+    gamma: float = 1.0
+    psi: float = 0.0
+    truncate: float = 3.0
+    max_ksize: int = 31
+    smoothing: float = 1.0
+    smooth_truncate: float = 3.0
+
+    @property
+    def n_frequencies(self) -> int:
+        return 1 if self.frequencies is None else len(self.frequencies)
+
+    @property
+    def n_kernels(self) -> int:
+        return len(self.scales) * self.orientations * self.n_frequencies
+
+    def kernel_params(self) -> list[tuple[float, float, float, int]]:
+        """Flat list of (sigma, theta, lambda, ksize), kernel-index order.
+
+        Index order is scale-major, then orientation, then frequency:
+        ``idx = (s * orientations + o) * n_freq + f`` — this order is part of
+        the feature-layout contract shared with the golden path.
+        """
+        params = []
+        for sigma in self.scales:
+            for o in range(self.orientations):
+                theta = math.pi * o / self.orientations
+                if self.frequencies is None:
+                    freqs = (0.56 / sigma,)
+                else:
+                    freqs = self.frequencies
+                for f in freqs:
+                    lam = 1.0 / f
+                    ksize = self.ksize_for(sigma)
+                    params.append((sigma, theta, lam, ksize))
+        return params
+
+    def ksize_for(self, sigma: float) -> int:
+        k = 2 * int(math.ceil(self.truncate * float(sigma))) + 1
+        k = min(k, self.max_ksize)
+        return k | 1  # force odd
+
+    def smooth_sigma_for(self, sigma: float) -> float:
+        return self.smoothing * float(sigma)
+
+    def smooth_radius_for(self, sigma: float) -> int:
+        return int(math.ceil(self.smooth_truncate * self.smooth_sigma_for(sigma)))
+
+    @property
+    def max_halo(self) -> int:
+        """Largest (conv radius + smoothing radius) over the bank — the halo a
+        spatial tile needs (SURVEY.md §5.7)."""
+        h = 0
+        for sigma, _, _, ksize in self.kernel_params():
+            h = max(h, ksize // 2 + self.smooth_radius_for(sigma))
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Clustering
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ClusterConfig:
+    """Pixel-clustering stage (SURVEY.md C8/C9)."""
+
+    method: str = "kmeans"  # "kmeans" | "gmm"
+    k: int = 5
+    n_iter: int = 25  # Lloyd iterations / EM iterations
+    color_weight: float = 1.0  # relative weight of Lab dims vs energy dims
+    normalize: bool = True  # per-image feature standardization
+    gmm_reg_covar: float = 1e-4
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Graph partition (superpixels + cut)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    """Superpixel + graph-cut stage (SURVEY.md C10-C13)."""
+
+    enabled: bool = False
+    n_superpixels: int = 400  # target superpixel count (grid-seeded)
+    slic_compactness: float = 10.0
+    slic_iters: int = 10
+    cut: str = "ncut"  # "ncut" | "mincut"
+    n_regions: int = 5  # final region count for ncut
+    affinity_sigma: Optional[float] = None  # None => median-heuristic
+    adjacency_only: bool = False  # restrict affinity to adjacent superpixels
+    mincut_k: float = 300.0  # Felzenszwalb-style merge threshold
+    mincut_min_size: int = 10  # minimum region size (in superpixels)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end run configuration (one of these == one experiment)."""
+
+    name: str = "custom"
+    bank: BankConfig = BankConfig()
+    cluster: ClusterConfig = ClusterConfig()
+    graph: GraphConfig = GraphConfig()
+    color_space: str = "lab"  # "lab" | "rgb"
+    image_hw: Tuple[int, int] = (321, 481)  # BSDS500 landscape; portrait is transposed on load
+    batch_size: int = 1
+    dtype: str = "float32"  # compute dtype for the feature stage: "float32" | "bfloat16"
+    use_pallas: bool = True  # fused Pallas feature kernel vs plain-XLA path
+    mesh_shape: Tuple[int, ...] = (1,)  # data-parallel mesh ('batch',)
+    tile_hw: Optional[Tuple[int, int]] = None  # spatial tiling for large images
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# The five acceptance presets — BASELINE.json configs[0..4], verbatim mapping
+# ---------------------------------------------------------------------------
+
+_SMALL_BANK = BankConfig(scales=(2.0, 4.0, 8.0), orientations=4, frequencies=None)
+_FULL_BANK = BankConfig(
+    scales=(1.5, 2.5, 4.0, 6.0, 8.0),
+    orientations=8,
+    frequencies=(0.10, 0.20),
+)
+
+PRESETS: dict[str, PipelineConfig] = {
+    # 0: "Single BSDS500 image (481x321), 4-orientation x 3-scale Gabor bank,
+    #     k-means k=5 — CPU-runnable reference path"
+    "config0": PipelineConfig(
+        name="config0",
+        bank=_SMALL_BANK,
+        cluster=ClusterConfig(method="kmeans", k=5),
+        graph=GraphConfig(enabled=False),
+        batch_size=1,
+        use_pallas=False,  # CPU-runnable
+    ),
+    # 1: "Full Gabor bank (8 orientations x 5 scales x 2 frequencies) over
+    #     CIELab channels, batch of 16 images"
+    "config1": PipelineConfig(
+        name="config1",
+        bank=_FULL_BANK,
+        cluster=ClusterConfig(method="kmeans", k=5),
+        graph=GraphConfig(enabled=False),
+        batch_size=16,
+    ),
+    # 2: "Gabor+color features -> GMM clustering with per-image EM, BSDS500 val split"
+    "config2": PipelineConfig(
+        name="config2",
+        bank=_SMALL_BANK,
+        cluster=ClusterConfig(method="gmm", k=5, n_iter=30),
+        graph=GraphConfig(enabled=False),
+        batch_size=8,
+    ),
+    # 3: "Superpixel affinity graph + spectral normalized-cut segmentation,
+    #     full BSDS500 test set (200 images)"
+    "config3": PipelineConfig(
+        name="config3",
+        bank=_SMALL_BANK,
+        cluster=ClusterConfig(method="kmeans", k=5),
+        graph=GraphConfig(enabled=True, n_superpixels=400, cut="ncut", n_regions=5),
+        batch_size=8,
+    ),
+    # 4: "Tiled 4K-image pipeline, data-parallel batch sharded across v5e-8
+    #     with fused filter->cluster->cut chain"
+    "config4": PipelineConfig(
+        name="config4",
+        bank=_SMALL_BANK,
+        cluster=ClusterConfig(method="kmeans", k=5),
+        graph=GraphConfig(enabled=False),
+        image_hw=(2160, 3840),
+        batch_size=8,
+        mesh_shape=(8,),
+        tile_hw=(1080, 1920),
+    ),
+}
+
+
+def preset(name: str) -> PipelineConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

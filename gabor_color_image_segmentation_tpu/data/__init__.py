@@ -1,0 +1,9 @@
+"""Data / IO layer (SURVEY.md L0): BSDS500 loader + synthetic stand-in."""
+
+from gabor_color_image_segmentation_tpu.data.synthetic import (
+    synthetic_mosaic,
+    synthetic_dataset,
+)
+from gabor_color_image_segmentation_tpu.data.bsds import BSDS500, bsds_available
+
+__all__ = ["synthetic_mosaic", "synthetic_dataset", "BSDS500", "bsds_available"]

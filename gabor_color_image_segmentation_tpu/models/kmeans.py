@@ -1,0 +1,90 @@
+"""JAX k-means (SURVEY.md C8) — TPU-native Lloyd iterations.
+
+Everything is MXU-shaped: the assignment step's pairwise distances are one
+matmul (||x||^2 - 2 x.c + ||c||^2), the update step is a one-hot matmul
+(centers = onehot(labels)^T @ x / counts). Iteration count is static
+(lax.fori_loop) so the whole solver jits and vmaps over a batch of images.
+
+Init contract (shared with golden/cluster.py): deterministic farthest-point
+("maximin") seeding — no PRNG, so the golden CPU path and this path start
+identically and final labels are comparable without permutation games.
+Empty-cluster rule: keep the previous center. Ties: lowest index (argmin /
+argmax first-hit, identical in numpy and jnp).
+
+sklearn's Lloyd (_kmeans.py:630 _kmeans_single_lloyd) is the semantic model;
+the k-means++ PRNG init is replaced by the deterministic seeding above.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def maximin_init(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x: (N, D) -> (k, D) deterministic farthest-point centers."""
+    x = jnp.asarray(x)  # fori_loop body indexes x with a traced index
+    n, d = x.shape
+    mean = jnp.mean(x, axis=0)
+    d0 = jnp.sum((x - mean) ** 2, axis=1)
+    idx0 = jnp.argmax(d0)
+    c0 = x[idx0]
+    centers = jnp.zeros((k, d), x.dtype).at[0].set(c0)
+    dmin = jnp.sum((x - c0) ** 2, axis=1)
+
+    def body(i, carry):
+        centers, dmin = carry
+        idx = jnp.argmax(dmin)
+        c = x[idx]
+        centers = centers.at[i].set(c)
+        dmin = jnp.minimum(dmin, jnp.sum((x - c) ** 2, axis=1))
+        return centers, dmin
+
+    centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
+    return centers
+
+
+def _pairwise_sq_dists(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """(N,D), (k,D) -> (N,k) squared euclidean distances (one MXU matmul)."""
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)
+    c_sq = jnp.sum(centers * centers, axis=1)
+    cross = jnp.dot(x, centers.T, preferred_element_type=jnp.float32)
+    return x_sq - 2.0 * cross + c_sq
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def kmeans(
+    x: jnp.ndarray, k: int, n_iter: int = 25
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lloyd k-means. x: (N, D) float -> (labels (N,) int32, centers (k, D)).
+
+    vmap over a leading batch axis for per-image clustering of a batch.
+    """
+    x = x.astype(jnp.float32)
+    centers0 = maximin_init(x, k)
+
+    def body(_, centers):
+        d = _pairwise_sq_dists(x, centers)
+        labels = jnp.argmin(d, axis=1)
+        onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # (N,k)
+        counts = jnp.sum(onehot, axis=0)  # (k,)
+        sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)  # (k,D)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where(counts[:, None] > 0, new, centers)
+
+    centers = lax.fori_loop(0, n_iter, body, centers0)
+    labels = jnp.argmin(_pairwise_sq_dists(x, centers), axis=1).astype(jnp.int32)
+    return labels, centers
+
+
+def kmeans_image(
+    features: jnp.ndarray, k: int, n_iter: int = 25
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W, D) features -> ((H, W) int32 labels, (k, D) centers)."""
+    h, w, d = features.shape
+    labels, centers = kmeans(features.reshape(h * w, d), k, n_iter)
+    return labels.reshape(h, w), centers

@@ -1,0 +1,90 @@
+"""End-to-end pipeline composition (SURVEY.md §3.1/§3.5).
+
+One pure function ``segment_batch``: (B, H, W, 3) sRGB -> (B, H, W) int32
+label maps, fully jit-compiled — color transform, Gabor features, clustering
+and (optionally) the superpixel/graph-cut stage never leave HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gabor_color_image_segmentation_tpu.config import PipelineConfig
+from gabor_color_image_segmentation_tpu.ops.bank import GaborBank, make_bank
+from gabor_color_image_segmentation_tpu.ops.color import rgb_to_lab
+from gabor_color_image_segmentation_tpu.ops.features import (
+    assemble_features,
+    gabor_energies,
+)
+from gabor_color_image_segmentation_tpu.models.kmeans import kmeans
+
+
+def _color_transform(rgb: jnp.ndarray, color_space: str) -> jnp.ndarray:
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) / 255.0
+    if color_space == "lab":
+        return rgb_to_lab(rgb)
+    return rgb.astype(jnp.float32)
+
+
+def compute_features(
+    rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
+) -> jnp.ndarray:
+    """(B,H,W,3) sRGB -> (B,H,W,D) standardized pixel features."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    color = _color_transform(rgb, cfg.color_space)
+    if cfg.use_pallas:
+        from gabor_color_image_segmentation_tpu.ops.fused_pallas import (
+            gabor_energies_fused,
+        )
+
+        energies = gabor_energies_fused(color, bank, dtype)
+    else:
+        energies = gabor_energies(color, bank, dtype)
+    return assemble_features(energies, color, cfg.cluster)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def segment_batch(
+    rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,H,W,3) sRGB -> ((B,H,W) int32 labels, (B,H,W,D) features).
+
+    Per-image clustering vmaps the solver over the batch. The graph stage
+    (SLIC + n-cut), when enabled, refines the label maps (models/graph.py).
+    """
+    b, h, w, _ = rgb.shape
+    feats = compute_features(rgb, cfg, bank)
+    d = feats.shape[-1]
+    flat = feats.reshape(b, h * w, d)
+
+    if cfg.cluster.method == "kmeans":
+        cluster = lambda f: kmeans(f, cfg.cluster.k, cfg.cluster.n_iter)[0]
+    elif cfg.cluster.method == "gmm":
+        from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
+
+        cluster = lambda f: gmm_predict(
+            f, cfg.cluster.k, cfg.cluster.n_iter, cfg.cluster.gmm_reg_covar
+        )
+    else:
+        raise ValueError(cfg.cluster.method)
+
+    labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
+
+    if cfg.graph.enabled:
+        from gabor_color_image_segmentation_tpu.models.graph import graph_segment_batch
+
+        labels = graph_segment_batch(feats, _color_transform(rgb, "lab"), cfg)
+    return labels, feats
+
+
+def segment_image(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None):
+    """Single-image convenience wrapper -> ((H,W) labels, (H,W,D) features)."""
+    if bank is None:
+        bank = make_bank(cfg.bank)
+    labels, feats = segment_batch(rgb[None], cfg, bank)
+    return labels[0], feats[0]

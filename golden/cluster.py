@@ -1,0 +1,112 @@
+"""Golden clustering: numpy Lloyd k-means (deterministic maximin init shared
+with the TPU path) and sklearn-semantics GMM EM.
+
+Init contract (shared with models/kmeans.py): deterministic farthest-point
+("maximin") seeding — center 0 is the point farthest from the data mean;
+center i maximizes the min squared distance to chosen centers; argmax ties
+break to the lowest index. Fully deterministic, so golden and TPU paths start
+from identical centers and label parity is testable without PRNG coupling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def maximin_init_np(x: np.ndarray, k: int) -> np.ndarray:
+    """x: (N, D) -> (k, D) deterministic farthest-point centers."""
+    mean = x.mean(axis=0)
+    d = ((x - mean) ** 2).sum(axis=1)
+    idx = int(np.argmax(d))
+    centers = [x[idx]]
+    dmin = ((x - x[idx]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        idx = int(np.argmax(dmin))
+        centers.append(x[idx])
+        dmin = np.minimum(dmin, ((x - x[idx]) ** 2).sum(axis=1))
+    return np.stack(centers).astype(x.dtype)
+
+
+def kmeans_golden(
+    x: np.ndarray, k: int, n_iter: int = 25
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd iterations from maximin init. x: (N,D) -> (labels (N,), centers (k,D)).
+
+    Empty-cluster rule (shared contract): an empty cluster keeps its previous
+    center. Distance = squared euclidean; label ties -> lowest center index
+    (np.argmin behaviour, matches jnp.argmin).
+    """
+    x = x.astype(np.float32)
+    centers = maximin_init_np(x, k).astype(np.float32)
+    labels = np.zeros(x.shape[0], dtype=np.int32)
+    x_sq = (x**2).sum(axis=1, keepdims=True)  # (N,1)
+    for _ in range(n_iter):
+        d = x_sq - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)
+        labels = np.argmin(d, axis=1).astype(np.int32)
+        for j in range(k):
+            m = labels == j
+            if m.any():
+                centers[j] = x[m].mean(axis=0)
+    return labels, centers
+
+
+def gmm_golden(
+    x: np.ndarray,
+    k: int,
+    n_iter: int = 30,
+    reg_covar: float = 1e-4,
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Full-covariance GMM EM with k-means (maximin) init; sklearn semantics
+    (_gaussian_mixture.py: estimate params / precision cholesky / log prob).
+
+    Returns (labels (N,), resp (N,k), params dict).
+    """
+    x = x.astype(np.float64)
+    n, d = x.shape
+    labels, centers = kmeans_golden(x.astype(np.float32), k, n_iter=10)
+    # initial responsibilities from hard k-means labels
+    resp = np.zeros((n, k))
+    resp[np.arange(n), labels] = 1.0
+    weights, means, covs = _m_step(x, resp, reg_covar)
+    for _ in range(n_iter):
+        log_resp = _e_step(x, weights, means, covs)
+        resp = np.exp(log_resp)
+        weights, means, covs = _m_step(x, resp, reg_covar)
+    log_resp = _e_step(x, weights, means, covs)
+    labels = np.argmax(log_resp, axis=1).astype(np.int32)
+    return labels, np.exp(log_resp), {"weights": weights, "means": means, "covs": covs}
+
+
+def _m_step(x, resp, reg_covar):
+    n, d = x.shape
+    k = resp.shape[1]
+    nk = resp.sum(axis=0) + 10 * np.finfo(resp.dtype).eps
+    means = (resp.T @ x) / nk[:, None]
+    covs = np.empty((k, d, d))
+    for j in range(k):
+        diff = x - means[j]
+        covs[j] = (resp[:, j][:, None] * diff).T @ diff / nk[j]
+        covs[j].flat[:: d + 1] += reg_covar
+    return nk / n, means, covs
+
+
+def _e_step(x, weights, means, covs):
+    """Log responsibilities via precision Cholesky (sklearn formulation)."""
+    n, d = x.shape
+    k = means.shape[0]
+    log_prob = np.empty((n, k))
+    for j in range(k):
+        chol = np.linalg.cholesky(covs[j])  # lower
+        # y = chol^{-1} (x - mu)^T  => mahalanobis = ||y||^2
+        y = np.linalg.solve(chol, (x - means[j]).T)
+        maha = (y**2).sum(axis=0)
+        log_det = np.log(np.diag(chol)).sum()
+        log_prob[:, j] = -0.5 * (d * np.log(2 * np.pi) + maha) - log_det
+    weighted = log_prob + np.log(weights)
+    norm = _logsumexp(weighted)
+    return weighted - norm[:, None]
+
+
+def _logsumexp(a: np.ndarray) -> np.ndarray:
+    m = a.max(axis=1)
+    return m + np.log(np.exp(a - m[:, None]).sum(axis=1))

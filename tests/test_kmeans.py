@@ -1,0 +1,57 @@
+"""k-means golden parity + sklearn cross-validation (SURVEY.md C8)."""
+
+import numpy as np
+
+from gabor_color_image_segmentation_tpu.models.kmeans import kmeans, maximin_init
+from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+from golden.cluster import kmeans_golden, maximin_init_np
+
+
+def _blobs(rng, n=2000, k=4, d=8, spread=0.08):
+    centers = rng.normal(size=(k, d)) * 3.0
+    labels = rng.integers(0, k, n)
+    x = centers[labels] + rng.normal(size=(n, d)) * spread
+    return x.astype(np.float32), labels
+
+
+def test_maximin_init_matches_golden(rng):
+    x, _ = _blobs(rng)
+    ours = np.asarray(maximin_init(x, 4))
+    gold = maximin_init_np(x, 4)
+    np.testing.assert_allclose(ours, gold, atol=1e-5)
+
+
+def test_labels_match_golden(rng):
+    x, _ = _blobs(rng, n=3000, k=5, d=6)
+    ours, c_ours = kmeans(x, 5, 20)
+    gold, c_gold = kmeans_golden(x, 5, 20)
+    agree = (np.asarray(ours) == gold).mean()
+    assert agree > 0.999, f"label agreement {agree}"
+    np.testing.assert_allclose(np.asarray(c_ours), c_gold, atol=1e-3)
+
+
+def test_recovers_true_clusters(rng):
+    x, true = _blobs(rng, n=4000, k=4, d=10, spread=0.05)
+    labels, _ = kmeans(x, 4, 25)
+    aligned = align_labels(np.asarray(labels), true)
+    assert (aligned == true).mean() > 0.999
+
+
+def test_matches_sklearn_quality(rng):
+    """Same-or-better inertia than sklearn KMeans on well-separated blobs."""
+    from sklearn.cluster import KMeans
+
+    x, _ = _blobs(rng, n=2500, k=4, d=8)
+    labels, centers = kmeans(x, 4, 25)
+    sk = KMeans(n_clusters=4, n_init=1, random_state=0, max_iter=25).fit(x)
+    ours_inertia = float(
+        ((x - np.asarray(centers)[np.asarray(labels)]) ** 2).sum()
+    )
+    assert ours_inertia <= sk.inertia_ * 1.01
+
+
+def test_empty_cluster_keeps_center():
+    x = np.array([[0.0, 0], [0, 0.1], [10, 10], [10, 10.1]], np.float32)
+    labels, centers = kmeans(x, 3, 5)
+    assert np.asarray(labels).max() <= 2
+    assert np.isfinite(np.asarray(centers)).all()
