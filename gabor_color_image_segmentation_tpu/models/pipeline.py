@@ -37,11 +37,15 @@ def compute_features(
     """(B,H,W,3) sRGB -> (B,H,W,D) standardized pixel features."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     color = _color_transform(rgb, cfg.color_space)
-    if cfg.use_pallas:
-        from gabor_color_image_segmentation_tpu.ops.fused_pallas import (
-            gabor_energies_fused,
-        )
-
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from gabor_color_image_segmentation_tpu.ops.fused_pallas import (
+                gabor_energies_fused,
+            )
+        except ImportError:
+            use_pallas = False
+    if use_pallas:
         energies = gabor_energies_fused(color, bank, dtype)
     else:
         energies = gabor_energies(color, bank, dtype)

@@ -1,0 +1,55 @@
+"""Data-parallel batch sharding over a device mesh (SURVEY.md §3.5).
+
+DP is the primary strategy (BASELINE config 4: "data-parallel batch sharded
+across v5e-8"): the image batch shards over the ``batch`` mesh axis; each
+chip runs the full fused filter->feature->cluster chain on its shard with no
+cross-chip traffic; only metric reductions ride ICI collectives. Developed
+and tested against the 8-fake-device CPU mesh (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gabor_color_image_segmentation_tpu.config import PipelineConfig
+from gabor_color_image_segmentation_tpu.ops.bank import GaborBank
+from gabor_color_image_segmentation_tpu.models.pipeline import segment_batch
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """1-D data-parallel mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("batch",))
+
+
+def segment_batch_sharded(
+    rgb: jax.Array, cfg: PipelineConfig, bank: GaborBank, mesh: Mesh
+) -> Tuple[jax.Array, jax.Array]:
+    """(B,H,W,3) batch sharded over mesh('batch') -> sharded (labels, features).
+
+    B must be divisible by the mesh size. The per-image pipeline is
+    batch-pointwise, so sharding the batch axis makes XLA partition the whole
+    program with zero communication (the embarrassingly-parallel benchmark
+    loop, SURVEY.md §3.4-3.5).
+    """
+    in_s = NamedSharding(mesh, P("batch"))
+    out_s = (NamedSharding(mesh, P("batch")), NamedSharding(mesh, P("batch")))
+    fn = jax.jit(
+        partial(segment_batch, cfg=cfg, bank=bank),
+        in_shardings=in_s,
+        out_shardings=out_s,
+    )
+    rgb = jax.device_put(rgb, in_s)
+    return fn(rgb)
