@@ -155,7 +155,13 @@ class PipelineConfig:
     image_hw: Tuple[int, int] = (321, 481)  # BSDS500 landscape; portrait is transposed on load
     batch_size: int = 1
     dtype: str = "float32"  # compute dtype for the feature stage: "float32" | "bfloat16"
-    use_pallas: bool = True  # fused Pallas feature kernel vs plain-XLA path
+    # feature-stage implementation:
+    #   "direct"    — depthwise 2-D convs (reference-shaped; any gamma)
+    #   "modulated" — modulate + separable blur factorization (gamma=1; ~8x
+    #                 fewer FLOPs, exactly equal values)
+    #   "pallas"    — fused single-VMEM-pass TPU kernel (gamma=1, TPU only)
+    #   "auto"      — pallas on TPU when eligible, else modulated, else direct
+    feature_impl: str = "auto"
     mesh_shape: Tuple[int, ...] = (1,)  # data-parallel mesh ('batch',)
     tile_hw: Optional[Tuple[int, int]] = None  # spatial tiling for large images
 
@@ -183,7 +189,7 @@ PRESETS: dict[str, PipelineConfig] = {
         cluster=ClusterConfig(method="kmeans", k=5),
         graph=GraphConfig(enabled=False),
         batch_size=1,
-        use_pallas=False,  # CPU-runnable
+        feature_impl="direct",  # CPU-runnable reference-shaped path
     ),
     # 1: "Full Gabor bank (8 orientations x 5 scales x 2 frequencies) over
     #     CIELab channels, batch of 16 images"

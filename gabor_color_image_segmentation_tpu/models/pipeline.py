@@ -37,18 +37,33 @@ def compute_features(
     """(B,H,W,3) sRGB -> (B,H,W,D) standardized pixel features."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     color = _color_transform(rgb, cfg.color_space)
-    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
-    if use_pallas:
+    impl = cfg.feature_impl
+    if impl == "auto":
+        if cfg.bank.gamma == 1.0 and jax.default_backend() == "tpu":
+            impl = "pallas"
+        elif cfg.bank.gamma == 1.0:
+            impl = "modulated"
+        else:
+            impl = "direct"
+    if impl == "pallas":
         try:
             from gabor_color_image_segmentation_tpu.ops.fused_pallas import (
                 gabor_energies_fused,
             )
         except ImportError:
-            use_pallas = False
-    if use_pallas:
+            impl = "modulated"
+    if impl == "pallas":
         energies = gabor_energies_fused(color, bank, dtype)
-    else:
+    elif impl == "modulated":
+        from gabor_color_image_segmentation_tpu.ops.modulated import (
+            gabor_energies_mod,
+        )
+
+        energies = gabor_energies_mod(color, bank, dtype)
+    elif impl == "direct":
         energies = gabor_energies(color, bank, dtype)
+    else:
+        raise ValueError(f"unknown feature_impl {cfg.feature_impl!r}")
     return assemble_features(energies, color, cfg.cluster)
 
 
