@@ -1,0 +1,205 @@
+"""Superpixel affinity graph + spectral normalized cut (SURVEY.md C11-C13).
+
+Pipeline (all jit/vmap-able, SURVEY.md §3.3):
+
+    slic labels -> scatter-mean superpixel features F (S, D)
+    -> dense affinity W = exp(-||F_i - F_j||^2 / (2 sigma^2))   [MXU matmul]
+    -> L_sym = I - D^-1/2 W D^-1/2
+    -> k smallest eigenvectors (jnp.linalg.eigh; S ~ 300-1000 so dense is
+       cheap on-chip — the Lanczos route only pays off for much larger S)
+    -> row-normalized spectral embedding -> deterministic k-means
+    -> region ids gathered back to pixels.
+
+Semantics ground truth: sklearn spectral_clustering (_spectral.py:194) with
+the Ng-Jordan-Weiss row normalization; sigma defaults to the median
+pairwise distance (median heuristic) when the config leaves it None.
+
+The min-cut variant (C13) is a Felzenszwalb-style greedy merge
+(segmentation.hpp:44-69 semantics) on the superpixel adjacency graph —
+union-find is inherently sequential, so it runs on host over the tiny
+S-node graph (SURVEY.md §7.4), not per-pixel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gabor_color_image_segmentation_tpu.config import PipelineConfig
+from gabor_color_image_segmentation_tpu.models.kmeans import kmeans
+from gabor_color_image_segmentation_tpu.models.slic import slic
+
+
+def superpixel_means(
+    features: jnp.ndarray, labels: jnp.ndarray, n_sp: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, D) features + (N,) labels -> ((S, D) means, (S,) counts)."""
+    sums = jax.ops.segment_sum(features, labels, num_segments=n_sp)
+    cnts = jax.ops.segment_sum(
+        jnp.ones(labels.shape, jnp.float32), labels, num_segments=n_sp
+    )
+    return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
+
+
+def affinity_matrix(
+    f: jnp.ndarray,
+    sigma: float | None = None,
+    counts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(S, D) -> (S, S) Gaussian affinity; sigma=None -> median heuristic.
+
+    Empty superpixels (counts == 0) are disconnected (zero affinity row/col)
+    except a unit self-loop to keep the Laplacian well-posed.
+    """
+    sq = jnp.sum(f * f, axis=1)
+    d2 = sq[:, None] - 2.0 * jnp.dot(f, f.T, preferred_element_type=jnp.float32) + sq
+    d2 = jnp.maximum(d2, 0.0)
+    if sigma is None:
+        med = jnp.median(d2)
+        s2 = jnp.maximum(med, 1e-12)
+    else:
+        s2 = 2.0 * sigma * sigma
+    w = jnp.exp(-d2 / s2)
+    if counts is not None:
+        alive = (counts > 0).astype(w.dtype)
+        w = w * alive[:, None] * alive[None, :]
+        w = w + jnp.diag(1.0 - alive)  # unit self-loop for dead nodes
+    return w
+
+
+def spectral_labels(w: jnp.ndarray, n_regions: int, n_iter: int = 30) -> jnp.ndarray:
+    """(S, S) affinity -> (S,) region labels via normalized-cut embedding."""
+    s = w.shape[0]
+    deg = jnp.sum(w, axis=1)
+    d_isqrt = 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-12))
+    l_sym = jnp.eye(s) - d_isqrt[:, None] * w * d_isqrt[None, :]
+    evals, evecs = jnp.linalg.eigh(l_sym)  # ascending
+    emb = evecs[:, :n_regions]  # k smallest — the n-cut embedding
+    # Ng-Jordan-Weiss row normalization
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(emb * emb, axis=1, keepdims=True), 1e-12))
+    emb = emb / norm
+    labels, _ = kmeans(emb, n_regions, n_iter)
+    return labels
+
+
+def ncut_segment(
+    features: jnp.ndarray,
+    lab: jnp.ndarray,
+    n_superpixels: int,
+    n_regions: int,
+    ruler: float = 10.0,
+    slic_iters: int = 10,
+    affinity_sigma: float | None = None,
+) -> jnp.ndarray:
+    """Single image: (H,W,D) features + (H,W,3) Lab -> (H,W) int32 regions."""
+    h, w, d = features.shape
+    sp = slic(lab, n_superpixels, ruler, slic_iters)  # (H, W)
+    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+
+    gh, gw, _ = grid_shape(h, w, n_superpixels)
+    n_sp = gh * gw
+    flat_sp = sp.reshape(-1)
+    f, cnts = superpixel_means(features.reshape(-1, d), flat_sp, n_sp)
+    aff = affinity_matrix(f, affinity_sigma, cnts)
+    regions = spectral_labels(aff, n_regions)  # (S,)
+    return regions[flat_sp].reshape(h, w).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def graph_segment_batch(
+    features: jnp.ndarray, lab: jnp.ndarray, cfg: PipelineConfig
+) -> jnp.ndarray:
+    """(B,H,W,D) features + (B,H,W,3) Lab -> (B,H,W) int32 region labels."""
+    g = cfg.graph
+    if g.cut == "ncut":
+        fn = lambda f, l: ncut_segment(
+            f,
+            l,
+            g.n_superpixels,
+            g.n_regions,
+            g.slic_compactness,
+            g.slic_iters,
+            g.affinity_sigma,
+        )
+        return jax.vmap(fn)(features, lab)
+    raise ValueError(
+        f"cut={g.cut!r} is host-side (see mincut_segment); use pipeline.segment_images"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-cut variant (host; Felzenszwalb-style greedy merge over superpixels)
+# ---------------------------------------------------------------------------
+
+
+def _adjacency_pairs(sp: np.ndarray) -> np.ndarray:
+    """(H, W) labels -> (E, 2) unique adjacent superpixel pairs (4-conn)."""
+    a = np.stack([sp[:, :-1].reshape(-1), sp[:, 1:].reshape(-1)], 1)
+    b = np.stack([sp[:-1, :].reshape(-1), sp[1:, :].reshape(-1)], 1)
+    e = np.concatenate([a, b])
+    e = e[e[:, 0] != e[:, 1]]
+    e.sort(axis=1)
+    return np.unique(e, axis=0)
+
+
+def mincut_segment(
+    features: np.ndarray,
+    sp: np.ndarray,
+    k: float = 300.0,
+    min_size: int = 10,
+) -> np.ndarray:
+    """Felzenszwalb merge on the superpixel graph (host).
+
+    features: (H, W, D); sp: (H, W) superpixel labels. Edge weight = euclidean
+    feature distance between superpixel means. Merge predicate: w <=
+    min(Int(Ci) + k/|Ci|, Int(Cj) + k/|Cj|) (Int = max internal weight so
+    far). A final pass absorbs regions smaller than min_size superpixels.
+    Returns (H, W) int32 region labels (contiguous).
+    """
+    h, w, d = features.shape
+    n_sp = int(sp.max()) + 1
+    flat = features.reshape(-1, d).astype(np.float64)
+    lab_flat = sp.reshape(-1)
+    sums = np.zeros((n_sp, d))
+    np.add.at(sums, lab_flat, flat)
+    cnts = np.bincount(lab_flat, minlength=n_sp).astype(np.float64)
+    means = sums / np.maximum(cnts, 1.0)[:, None]
+
+    edges = _adjacency_pairs(sp)
+    wts = np.linalg.norm(means[edges[:, 0]] - means[edges[:, 1]], axis=1)
+    order = np.argsort(wts, kind="stable")
+
+    parent = np.arange(n_sp)
+    size = np.ones(n_sp)
+    internal = np.zeros(n_sp)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ei in order:
+        a, b = find(edges[ei, 0]), find(edges[ei, 1])
+        if a == b:
+            continue
+        wt = wts[ei]
+        if wt <= min(internal[a] + k / size[a], internal[b] + k / size[b]):
+            parent[b] = a
+            size[a] += size[b]
+            internal[a] = max(internal[a], internal[b], wt)
+
+    # absorb small regions
+    for ei in order:
+        a, b = find(edges[ei, 0]), find(edges[ei, 1])
+        if a != b and (size[a] < min_size or size[b] < min_size):
+            parent[b] = a
+            size[a] += size[b]
+
+    roots = np.array([find(i) for i in range(n_sp)])
+    _, regions = np.unique(roots, return_inverse=True)
+    return regions[lab_flat].reshape(h, w).astype(np.int32)

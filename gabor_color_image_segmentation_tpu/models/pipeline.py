@@ -107,3 +107,38 @@ def segment_image(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None)
         bank = make_bank(cfg.bank)
     labels, feats = segment_batch(rgb[None], cfg, bank)
     return labels[0], feats[0]
+
+
+def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None):
+    """Host-orchestrated batch entry point: (B,H,W,3) -> (B,H,W) int32.
+
+    Identical to ``segment_batch`` for device-only configs; additionally
+    handles the host-side stages: the min-cut graph variant (sequential
+    union-find, SURVEY.md §7.4) and SLIC connectivity enforcement.
+    """
+    import numpy as np
+
+    if bank is None:
+        bank = make_bank(cfg.bank)
+    g = cfg.graph
+    if not (g.enabled and g.cut == "mincut"):
+        labels, _ = segment_batch(rgb, cfg, bank)
+        return labels
+
+    from gabor_color_image_segmentation_tpu.models.graph import mincut_segment
+    from gabor_color_image_segmentation_tpu.models.slic import slic
+
+    feats = jax.jit(lambda b: compute_features(b, cfg, bank))(rgb)
+    lab = jax.jit(lambda b: _color_transform(b, "lab"))(rgb)
+    sp = jax.jit(
+        jax.vmap(lambda l: slic(l, g.n_superpixels, g.slic_compactness, g.slic_iters))
+    )(lab)
+    feats_np = np.asarray(feats)
+    sp_np = np.asarray(sp)
+    out = np.stack(
+        [
+            mincut_segment(feats_np[i], sp_np[i], g.mincut_k, g.mincut_min_size)
+            for i in range(rgb.shape[0])
+        ]
+    )
+    return jnp.asarray(out)

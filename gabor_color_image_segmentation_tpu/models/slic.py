@@ -1,0 +1,176 @@
+"""JAX SLIC superpixels (SURVEY.md C10) — TPU-native local k-means.
+
+Semantics follow cv2.ximgproc SuperpixelSLIC (slic.hpp:64-161): grid-seeded
+centroids in (L, a, b, y, x) space, ``iterate(n)`` rounds of local
+assignment + centroid update, compactness ``ruler`` balancing color vs
+spatial distance with the cell size s as the spatial normalizer.
+
+TPU formulation: instead of each centroid scanning a 2s x 2s window
+(scatter-heavy), each PIXEL tests the 9 centroids of its 3x3 neighboring
+grid cells (gather-friendly, fixed fan-in, fully vectorized):
+
+    d^2 = d_lab^2 + (ruler / s)^2 * d_xy^2     (SLIC distance)
+
+The update step is a segment-sum scatter-mean (XLA-native). Labels are flat
+grid-cell ids in [0, gh*gw). Connectivity enforcement — inherently
+sequential flood fill in the reference (slic.hpp enforceLabelConnectivity) —
+ships as a host post-pass (``enforce_connectivity``), applied outside jit;
+see SURVEY.md §7.4 (2).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def grid_shape(h: int, w: int, n_superpixels: int) -> Tuple[int, int, float]:
+    """Choose the seed grid (gh, gw) and cell size s for a target count."""
+    s = math.sqrt(h * w / n_superpixels)
+    gh = max(1, round(h / s))
+    gw = max(1, round(w / s))
+    return gh, gw, s
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def slic(
+    lab: jnp.ndarray,
+    n_superpixels: int,
+    ruler: float = 10.0,
+    n_iter: int = 10,
+    min_size_frac: float = 0.0,  # reserved; connectivity handled on host
+) -> jnp.ndarray:
+    """(H, W, 3) Lab image -> (H, W) int32 superpixel labels in [0, gh*gw).
+
+    vmap over a leading batch axis for batched execution.
+    """
+    h, w, _ = lab.shape
+    gh, gw, s = grid_shape(h, w, n_superpixels)
+    n_sp = gh * gw
+
+    yy = jnp.arange(h, dtype=jnp.float32).reshape(-1, 1)
+    xx = jnp.arange(w, dtype=jnp.float32).reshape(1, -1)
+    yb = jnp.broadcast_to(yy, (h, w))
+    xb = jnp.broadcast_to(xx, (h, w))
+    # 5-D pixel features: (H, W, 5) = [L, a, b, y, x]
+    px = jnp.concatenate([lab.astype(jnp.float32), yb[..., None], xb[..., None]], -1)
+    flat = px.reshape(-1, 5)
+
+    # initial centroids at cell centers
+    cy = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
+    cx = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (w / gw)
+    cyg, cxg = jnp.meshgrid(cy, cx, indexing="ij")
+    iy = jnp.clip(cyg.astype(jnp.int32), 0, h - 1)
+    ix = jnp.clip(cxg.astype(jnp.int32), 0, w - 1)
+    init_color = lab[iy, ix].reshape(n_sp, 3)
+    centroids = jnp.concatenate(
+        [init_color, cyg.reshape(-1, 1), cxg.reshape(-1, 1)], axis=-1
+    )  # (S, 5)
+
+    # each pixel's home grid cell
+    cell_y = jnp.clip((yb * (gh / h)).astype(jnp.int32), 0, gh - 1)
+    cell_x = jnp.clip((xb * (gw / w)).astype(jnp.int32), 0, gw - 1)
+
+    # 3x3 neighbor cell ids per pixel, clipped at borders: (H, W, 9)
+    offs = jnp.asarray([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    ny = jnp.clip(cell_y[..., None] + offs[:, 0], 0, gh - 1)
+    nx = jnp.clip(cell_x[..., None] + offs[:, 1], 0, gw - 1)
+    cand = (ny * gw + nx).reshape(-1, 9)  # (H*W, 9) flat candidate ids
+
+    spatial_w = (ruler / s) ** 2
+
+    def assign(centroids):
+        c = centroids[cand]  # (H*W, 9, 5)
+        d_col = jnp.sum((c[..., :3] - flat[:, None, :3]) ** 2, -1)
+        d_xy = jnp.sum((c[..., 3:] - flat[:, None, 3:]) ** 2, -1)
+        d = d_col + spatial_w * d_xy
+        best = jnp.argmin(d, axis=-1)  # (H*W,)
+        return jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+
+    def body(_, centroids):
+        labels = assign(centroids)
+        sums = jax.ops.segment_sum(flat, labels, num_segments=n_sp)
+        cnts = jax.ops.segment_sum(
+            jnp.ones((flat.shape[0],), jnp.float32), labels, num_segments=n_sp
+        )
+        new = sums / jnp.maximum(cnts, 1.0)[:, None]
+        return jnp.where(cnts[:, None] > 0, new, centroids)
+
+    centroids = lax.fori_loop(0, n_iter, body, centroids)
+    return assign(centroids).reshape(h, w).astype(jnp.int32)
+
+
+def enforce_connectivity(labels: np.ndarray, min_size: int | None = None) -> np.ndarray:
+    """Host post-pass mirroring SuperpixelSLIC::enforceLabelConnectivity:
+    split disconnected fragments of a label, absorb fragments smaller than
+    min_size (default: cell area / 4) into their largest adjacent component.
+
+    Returns contiguous int32 labels.
+    """
+    from scipy import ndimage
+
+    h, w = labels.shape
+    n_in = int(labels.max()) + 1
+    if min_size is None:
+        min_size = max(1, (h * w) // n_in // 4)
+
+    # connected components per label value (4-connectivity, SLIC convention)
+    comp = np.full((h, w), -1, np.int32)
+    n_comp = 0
+    structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for v in range(n_in):
+        mask = labels == v
+        if not mask.any():
+            continue
+        cc, n = ndimage.label(mask, structure=structure)
+        comp[mask] = cc[mask] + n_comp - 1
+        n_comp += n
+
+    sizes = np.bincount(comp.reshape(-1), minlength=n_comp)
+
+    # absorb small components into the most-adjacent large neighbor, looping
+    # because absorption can chain (tiny fragment rings)
+    out = comp.copy()
+    for _ in range(4):
+        sizes = np.bincount(out.reshape(-1))
+        small = np.flatnonzero(sizes < min_size)
+        if small.size == 0:
+            break
+        small_set = np.zeros(sizes.size, bool)
+        small_set[small] = True
+        # horizontal + vertical neighbor pairs with differing components
+        pairs = []
+        a, b = out[:, :-1].reshape(-1), out[:, 1:].reshape(-1)
+        m = a != b
+        pairs.append(np.stack([a[m], b[m]], 1))
+        a, b = out[:-1, :].reshape(-1), out[1:, :].reshape(-1)
+        m = a != b
+        pairs.append(np.stack([a[m], b[m]], 1))
+        pr = np.concatenate(pairs)
+        pr = np.concatenate([pr, pr[:, ::-1]])  # symmetric
+        # for each small comp, count adjacency to each neighbor; pick argmax
+        m = small_set[pr[:, 0]]
+        pr = pr[m]
+        if pr.size == 0:
+            break
+        key = pr[:, 0].astype(np.int64) * sizes.size + pr[:, 1]
+        uk, cnt = np.unique(key, return_counts=True)
+        order = np.argsort(-cnt, kind="stable")
+        uk, cnt = uk[order], cnt[order]
+        src = (uk // sizes.size).astype(np.int32)
+        dst = (uk % sizes.size).astype(np.int32)
+        # first occurrence per src = neighbor with max shared boundary
+        first = np.unique(src, return_index=True)[1]
+        mapping = np.arange(sizes.size, dtype=np.int32)
+        mapping[src[first]] = dst[first]
+        out = mapping[out]
+
+    # relabel contiguous
+    _, out = np.unique(out, return_inverse=True)
+    return out.reshape(h, w).astype(np.int32)

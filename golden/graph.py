@@ -1,0 +1,101 @@
+"""Golden graph stage: numpy SLIC + scipy-eigh normalized cut.
+
+Mirrors models/slic.py and models/graph.py stage-for-stage in numpy/scipy
+(float64 accumulate) so the TPU path has an executable CPU oracle; a separate
+sanity test cross-checks the spectral stage against sklearn
+SpectralClustering on synthetic graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+from golden.cluster import kmeans_golden
+
+
+def slic_golden(
+    lab: np.ndarray, n_superpixels: int, ruler: float = 10.0, n_iter: int = 10
+) -> np.ndarray:
+    """Numpy mirror of models.slic.slic (same init, same 9-candidate rule)."""
+    h, w, _ = lab.shape
+    gh, gw, s = grid_shape(h, w, n_superpixels)
+    n_sp = gh * gw
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    px = np.concatenate([lab.astype(np.float32), yy[..., None], xx[..., None]], -1)
+    flat = px.reshape(-1, 5)
+
+    cy = (np.arange(gh, dtype=np.float32) + 0.5) * (h / gh)
+    cx = (np.arange(gw, dtype=np.float32) + 0.5) * (w / gw)
+    cyg, cxg = np.meshgrid(cy, cx, indexing="ij")
+    iy = np.clip(cyg.astype(np.int32), 0, h - 1)
+    ix = np.clip(cxg.astype(np.int32), 0, w - 1)
+    init_color = lab[iy, ix].reshape(n_sp, 3)
+    centroids = np.concatenate(
+        [init_color, cyg.reshape(-1, 1), cxg.reshape(-1, 1)], -1
+    ).astype(np.float32)
+
+    cell_y = np.clip((yy * (gh / h)).astype(np.int32), 0, gh - 1)
+    cell_x = np.clip((xx * (gw / w)).astype(np.int32), 0, gw - 1)
+    offs = np.array([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    ny = np.clip(cell_y[..., None] + offs[:, 0], 0, gh - 1)
+    nx = np.clip(cell_x[..., None] + offs[:, 1], 0, gw - 1)
+    cand = (ny * gw + nx).reshape(-1, 9)
+
+    spatial_w = np.float32((ruler / s) ** 2)
+
+    def assign(centroids):
+        c = centroids[cand]  # (N, 9, 5)
+        d = ((c[..., :3] - flat[:, None, :3]) ** 2).sum(-1) + spatial_w * (
+            (c[..., 3:] - flat[:, None, 3:]) ** 2
+        ).sum(-1)
+        best = np.argmin(d, axis=-1)
+        return cand[np.arange(cand.shape[0]), best]
+
+    for _ in range(n_iter):
+        labels = assign(centroids)
+        sums = np.zeros((n_sp, 5), np.float64)
+        np.add.at(sums, labels, flat)
+        cnts = np.bincount(labels, minlength=n_sp).astype(np.float64)
+        upd = (sums / np.maximum(cnts, 1.0)[:, None]).astype(np.float32)
+        centroids = np.where(cnts[:, None] > 0, upd, centroids)
+    return assign(centroids).reshape(h, w).astype(np.int32)
+
+
+def ncut_golden(
+    features: np.ndarray,
+    sp: np.ndarray,
+    n_regions: int,
+    affinity_sigma: float | None = None,
+    n_sp: int | None = None,
+) -> np.ndarray:
+    """Numpy/scipy mirror of models.graph: means -> affinity -> eigh -> kmeans."""
+    h, w, d = features.shape
+    if n_sp is None:
+        n_sp = int(sp.max()) + 1
+    flat = features.reshape(-1, d).astype(np.float64)
+    lab_flat = sp.reshape(-1)
+    sums = np.zeros((n_sp, d))
+    np.add.at(sums, lab_flat, flat)
+    cnts = np.bincount(lab_flat, minlength=n_sp).astype(np.float64)
+    f = sums / np.maximum(cnts, 1.0)[:, None]
+
+    sq = (f**2).sum(1)
+    d2 = np.maximum(sq[:, None] - 2 * f @ f.T + sq, 0.0)
+    if affinity_sigma is None:
+        s2 = max(np.median(d2), 1e-12)
+    else:
+        s2 = 2.0 * affinity_sigma**2
+    wm = np.exp(-d2 / s2)
+    alive = (cnts > 0).astype(np.float64)
+    wm = wm * alive[:, None] * alive[None, :] + np.diag(1.0 - alive)
+
+    deg = wm.sum(1)
+    dis = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    lsym = np.eye(n_sp) - dis[:, None] * wm * dis[None, :]
+    _, evecs = np.linalg.eigh(lsym)
+    emb = evecs[:, :n_regions]
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    regions, _ = kmeans_golden(emb.astype(np.float32), n_regions, n_iter=30)
+    return regions[lab_flat].reshape(h, w).astype(np.int32)

@@ -1,0 +1,66 @@
+"""GMM EM golden parity + sklearn cross-check (SURVEY.md C9)."""
+
+import numpy as np
+
+from gabor_color_image_segmentation_tpu.models.gmm import gmm_fit
+from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+from golden.cluster import gmm_golden
+
+
+def _blobs(rng, n=1500, k=3, d=6, spread=0.15):
+    centers = rng.normal(size=(k, d)) * 3.0
+    labels = rng.integers(0, k, n)
+    x = centers[labels] + rng.normal(size=(n, d)) * spread * (1 + labels[:, None])
+    return x.astype(np.float32), labels
+
+
+def test_labels_match_golden(rng):
+    x, _ = _blobs(rng)
+    ours, resp, _ = gmm_fit(x, 3, n_iter=30)
+    gold, gresp, _ = gmm_golden(x, 3, n_iter=30)
+    agree = (np.asarray(ours) == gold).mean()
+    assert agree > 0.995, f"label agreement {agree}"
+    # responsibilities: fp32 EM vs float64 EM
+    np.testing.assert_allclose(np.asarray(resp), gresp, atol=5e-2)
+
+
+def test_recovers_true_clusters(rng):
+    x, true = _blobs(rng, n=3000, k=4, d=8, spread=0.1)
+    labels, _, _ = gmm_fit(x, 4, n_iter=30)
+    aligned = align_labels(np.asarray(labels), true)
+    assert (aligned == true).mean() > 0.99
+
+
+def test_matches_sklearn_quality(rng):
+    """Comparable log-likelihood to sklearn GaussianMixture."""
+    from sklearn.mixture import GaussianMixture
+
+    x, _ = _blobs(rng, n=2000, k=3, d=5)
+    _, _, params = gmm_fit(x, 3, n_iter=40)
+    sk = GaussianMixture(3, max_iter=40, reg_covar=1e-4, random_state=0).fit(x)
+
+    from scipy.stats import multivariate_normal
+
+    def loglik(weights, means, covs):
+        probs = np.stack(
+            [
+                w * multivariate_normal.pdf(x, m, c, allow_singular=True)
+                for w, m, c in zip(weights, means, covs)
+            ]
+        ).sum(0)
+        return np.log(np.maximum(probs, 1e-300)).mean()
+
+    ours = loglik(
+        np.asarray(params.weights), np.asarray(params.means), np.asarray(params.covs)
+    )
+    theirs = loglik(sk.weights_, sk.means_, sk.covariances_)
+    assert ours > theirs - 0.05, (ours, theirs)
+
+
+def test_weights_sum_to_one(rng):
+    x, _ = _blobs(rng, n=800, k=3)
+    _, resp, params = gmm_fit(x, 3, n_iter=10)
+    np.testing.assert_allclose(float(np.asarray(params.weights).sum()), 1.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(resp).sum(axis=1), np.ones(x.shape[0]), atol=1e-4
+    )

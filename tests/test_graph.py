@@ -1,0 +1,114 @@
+"""Affinity graph + spectral n-cut + min-cut (SURVEY.md C11-C13)."""
+
+import numpy as np
+import pytest
+
+from gabor_color_image_segmentation_tpu.config import preset
+from gabor_color_image_segmentation_tpu.metrics.pri import pri_np
+from gabor_color_image_segmentation_tpu.models.graph import (
+    affinity_matrix,
+    mincut_segment,
+    ncut_segment,
+    spectral_labels,
+    superpixel_means,
+)
+from gabor_color_image_segmentation_tpu.models.slic import slic
+from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+from golden.features import rgb_to_lab_np
+from golden.graph import ncut_golden
+
+
+def test_superpixel_means(rng):
+    f = rng.random((100, 4)).astype(np.float32)
+    labels = rng.integers(0, 7, 100)
+    means, cnts = superpixel_means(f, labels, 8)
+    for j in range(8):
+        m = labels == j
+        assert float(np.asarray(cnts)[j]) == m.sum()
+        if m.any():
+            np.testing.assert_allclose(np.asarray(means)[j], f[m].mean(0), atol=1e-5)
+
+
+def test_affinity_properties(rng):
+    f = rng.random((30, 5)).astype(np.float32)
+    w = np.asarray(affinity_matrix(f))
+    assert np.allclose(w, w.T, atol=1e-6)
+    assert np.allclose(np.diag(w), 1.0, atol=1e-5)
+    assert (w >= 0).all() and (w <= 1.0 + 1e-6).all()
+
+
+def test_spectral_labels_separates_blocks(rng):
+    """Two well-separated feature blocks -> clean 2-way cut."""
+    f = np.concatenate(
+        [rng.normal(0, 0.05, (20, 4)), rng.normal(3, 0.05, (25, 4))]
+    ).astype(np.float32)
+    w = affinity_matrix(f, sigma=0.5)
+    labels = np.asarray(spectral_labels(w, 2))
+    true = np.array([0] * 20 + [1] * 25)
+    aligned = align_labels(labels, true)
+    assert (aligned == true).mean() == 1.0
+
+
+def test_spectral_matches_sklearn(rng):
+    from sklearn.cluster import SpectralClustering
+    from sklearn.metrics import adjusted_rand_score
+
+    f = np.concatenate(
+        [rng.normal(i * 3, 0.1, (20, 4)) for i in range(3)]
+    ).astype(np.float32)
+    w = np.asarray(affinity_matrix(f, sigma=0.5), np.float64)
+    ours = np.asarray(spectral_labels(w, 3))
+    sk = SpectralClustering(
+        n_clusters=3, affinity="precomputed", random_state=0, assign_labels="kmeans"
+    ).fit_predict(w)
+    assert adjusted_rand_score(ours, sk) > 0.95
+
+
+def test_ncut_end_to_end(small_mosaic):
+    rgb, gt = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    # color-only features are enough on the mosaic
+    feats = (lab / np.abs(lab).max()).astype(np.float32)
+    labels = np.asarray(ncut_segment(feats, lab, 64, 4))
+    assert labels.shape == lab.shape[:2]
+    pri = pri_np(labels, [gt])
+    assert pri > 0.85, f"ncut PRI {pri}"
+
+
+def test_ncut_matches_golden(small_mosaic):
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    feats = (lab / np.abs(lab).max()).astype(np.float32)
+    sp = np.asarray(slic(lab, 64, 10.0, 10))
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        affinity_matrix,
+        spectral_labels,
+    )
+    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+
+    gh, gw, _ = grid_shape(*lab.shape[:2], 64)
+    f, cnts = superpixel_means(
+        feats.reshape(-1, 3), sp.reshape(-1), gh * gw
+    )
+    ours_regions = np.asarray(
+        spectral_labels(affinity_matrix(f, counts=cnts), 4)
+    )
+    ours = ours_regions[sp.reshape(-1)].reshape(sp.shape)
+    gold = ncut_golden(feats, sp, 4, n_sp=gh * gw)
+    aligned = align_labels(ours, gold)
+    agree = (aligned == gold).mean()
+    # eigenvector sign/rotation ambiguity makes this the loosest parity gate
+    # (SURVEY.md §7.4.1); identical SLIC input + deterministic kmeans keeps it high
+    assert agree > 0.95, f"ncut agreement {agree}"
+
+
+def test_mincut_merges_mosaic(small_mosaic):
+    rgb, gt = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    feats = lab.astype(np.float32)
+    sp = np.asarray(slic(lab, 64, 10.0, 10))
+    labels = mincut_segment(feats, sp, k=50.0, min_size=2)
+    n_regions = len(np.unique(labels))
+    assert 2 <= n_regions <= 20, n_regions
+    pri = pri_np(labels, [gt])
+    assert pri > 0.8, f"mincut PRI {pri}"

@@ -1,0 +1,62 @@
+"""SLIC superpixels: golden parity + structural properties (SURVEY.md C10)."""
+
+import numpy as np
+
+from gabor_color_image_segmentation_tpu.models.slic import (
+    enforce_connectivity,
+    grid_shape,
+    slic,
+)
+from golden.features import rgb_to_lab_np
+from golden.graph import slic_golden
+
+
+def test_matches_golden(small_mosaic):
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    ours = np.asarray(slic(lab, 64, 10.0, 10))
+    gold = slic_golden(lab, 64, 10.0, 10)
+    agree = (ours == gold).mean()
+    assert agree > 0.999, f"SLIC agreement {agree}"
+
+
+def test_label_range_and_coverage(small_mosaic):
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    n_target = 64
+    labels = np.asarray(slic(lab, n_target, 10.0, 10))
+    gh, gw, _ = grid_shape(*lab.shape[:2], n_target)
+    assert labels.min() >= 0 and labels.max() < gh * gw
+    # most cells survive as non-empty superpixels
+    assert len(np.unique(labels)) > 0.7 * gh * gw
+
+
+def test_locality(small_mosaic):
+    """Each superpixel stays within a ~2-cell radius of its seed (SLIC ruler)."""
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    labels = np.asarray(slic(lab, 64, 10.0, 10))
+    h, w = labels.shape
+    gh, gw, s = grid_shape(h, w, 64)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for v in np.unique(labels):
+        m = labels == v
+        cy, cx = (v // gw + 0.5) * h / gh, (v % gw + 0.5) * w / gw
+        assert np.abs(yy[m] - cy).max() < 2.5 * s
+        assert np.abs(xx[m] - cx).max() < 2.5 * s
+
+
+def test_enforce_connectivity():
+    # construct a label map with a disconnected fragment + a tiny island
+    labels = np.zeros((20, 20), np.int32)
+    labels[:, 10:] = 1
+    labels[0:2, 0:2] = 1  # fragment of label 1 inside label 0 region
+    labels[10, 3] = 2  # one-pixel island
+    out = enforce_connectivity(labels, min_size=8)
+    # islands absorbed; components contiguous
+    from scipy import ndimage
+
+    for v in np.unique(out):
+        cc, n = ndimage.label(out == v)
+        assert n == 1, f"label {v} split into {n} components"
+    assert (out[0:2, 0:2] == out[3, 3]).all()  # fragment absorbed into region 0
