@@ -1,0 +1,255 @@
+"""Fused Pallas TPU kernel: Gabor conv + magnitude + energy smoothing in one
+VMEM pass (BASELINE.json north_star; SURVEY.md C4-C6).
+
+Math = the modulated-separable factorization (ops/modulated.py, exact for
+gamma=1): per scale group and per complex kernel j
+
+    modulate   M = I_pad .* exp(-i w_j q)          (VPU, in-kernel iota phase)
+    blur       G = E_v @ M @ E_h                   (MXU: banded-Toeplitz
+                                                    matrices of the truncated
+                                                    1-D envelope taps)
+    demod      re + i im = exp(i w_j p) G ;  re -= mu_j * box(I)
+    magnitude  mag = sqrt(re^2 + im^2)             (VPU)
+    smooth     out = S_v @ mag @ S_h               (MXU: normalized Gaussian
+                                                    Toeplitz)
+
+Everything for one (image, kernel-chunk) grid step lives in VMEM — the
+(B,H,W,6N) complex responses and (B,H,W,3N) magnitudes that the unfused path
+round-trips through HBM never materialize. The 1-D convolutions are cast as
+dense Toeplitz matmuls: ~Hp/k more FLOPs than the taps need, but they run on
+the MXU at ~50x the VPU rate that XLA's depthwise lowering achieves, and the
+fp32 accumulation matches the unfused path's numerics.
+
+Layout: channel-first (C, H, W) inside the kernel so H x W land on
+(sublane, lane); the host-side wrapper pads/transposes and restores the
+framework's (B, H, W, C*N) contract order.
+
+Whole-image blocks (BSDS 321x481 padded ~ 2.7 MB fp32) fit VMEM comfortably;
+larger images go through the spatial tiler (parallel/tiling.py) which feeds
+this same kernel tile-by-tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gabor_color_image_segmentation_tpu.ops.bank import GaborBank, ScaleGroup
+from gabor_color_image_segmentation_tpu.ops.features import _energy_permutation
+from gabor_color_image_segmentation_tpu.ops.modulated import (
+    _dc_mu,
+    _envelope_taps,
+    group_frequencies,
+)
+
+
+def _toeplitz(taps: np.ndarray, n_out: int, dtype) -> np.ndarray:
+    """(n_out, n_out + len(taps) - 1) banded correlation matrix T with
+    T[i, i+t] = taps[t]; out = T @ x computes VALID 1-D correlation."""
+    k = len(taps)
+    t = np.zeros((n_out, n_out + k - 1), np.float32)
+    for i in range(n_out):
+        t[i, i : i + k] = taps
+    return t.astype(dtype)
+
+
+def _group_kernel(
+    x_ref,  # (1, C, Hp, Wp) f32 padded image
+    box_ref,  # (1, C, Hmid, Wmid) f32 box sums (DC correction)
+    par_ref,  # (n_chunks, 3*n_c) f32 SMEM (full): [wx..., wy..., mu...]
+    ev_ref,  # (Hmid, Hp) envelope Toeplitz (vertical)
+    eh_ref,  # (Wp, Wmid) envelope Toeplitz (horizontal, transposed)
+    sv_ref,  # (H, Hmid) smoothing Toeplitz (vertical)
+    sh_ref,  # (Wmid, W) smoothing Toeplitz (horizontal, transposed)
+    out_ref,  # (1, 1, n_c*C, H, W) f32 energies
+    *,
+    c: int,
+    n_c: int,
+    p: int,
+    mm_dtype,
+):
+    hp, wp = x_ref.shape[2], x_ref.shape[3]
+    hmid, wmid = ev_ref.shape[0], eh_ref.shape[1]
+    chunk = pl.program_id(1)
+
+    # 1-D coordinate vectors; the plane wave cos(wy y + wx x) is rank-2 in
+    # outer products of these, so the (Hp, Wp) phase planes never materialize
+    yv = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0).astype(jnp.float32)
+    xv = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(jnp.float32)
+
+    for jj in range(n_c):
+        wx = par_ref[chunk, jj]
+        wy = par_ref[chunk, n_c + jj]
+        mu = par_ref[chunk, 2 * n_c + jj]
+        cy, sy = jnp.cos(wy * yv), jnp.sin(wy * yv)  # (Hp, 1)
+        cx, sx = jnp.cos(wx * xv), jnp.sin(wx * xv)  # (1, Wp)
+        cyp, syp = cy[p : p + hmid], sy[p : p + hmid]
+        cxp, sxp = cx[:, p : p + wmid], sx[:, p : p + wmid]
+        for cc in range(c):
+            img = x_ref[0, cc]
+
+            def blur(m):
+                v = jnp.dot(ev_ref[...], m, preferred_element_type=jnp.float32)
+                return jnp.dot(
+                    v.astype(mm_dtype), eh_ref[...],
+                    preferred_element_type=jnp.float32,
+                )
+
+            # cos(wy y + wx x) = cy cx - sy sx ; sin = sy cx + cy sx
+            # re/im processed sequentially so only one (Hp, Wp) modulated
+            # buffer is live at a time (VMEM headroom)
+            m_re = (img * (cy * cx) - img * (sy * sx)).astype(mm_dtype)
+            g_re = blur(m_re)  # (Hmid, Wmid) f32
+            m_im = (-img * (sy * cx) - img * (cy * sx)).astype(mm_dtype)
+            g_im = blur(m_im)
+            cos_p = cyp * cxp - syp * sxp
+            sin_p = syp * cxp + cyp * sxp
+            re = cos_p * g_re - sin_p * g_im - mu * box_ref[0, cc]
+            im = sin_p * g_re + cos_p * g_im
+            mag = jnp.sqrt(re * re + im * im).astype(mm_dtype)
+            sm = jnp.dot(sv_ref[...], mag, preferred_element_type=jnp.float32)
+            sm = jnp.dot(
+                sm.astype(mm_dtype), sh_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, 0, jj * c + cc] = sm
+
+
+def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
+    """(B, C, Hp, Wp) padded channel-first image -> (B, C, Hmid, Wmid) box
+    sums over the ksize x ksize window (separable ones correlation)."""
+    p = ksize // 2
+    # vertical then horizontal VALID ones-correlation via cumsum differences
+    cs = jnp.cumsum(img_cf, axis=2)
+    zero = jnp.zeros_like(cs[:, :, :1])
+    cs = jnp.concatenate([zero, cs], axis=2)
+    v = cs[:, :, ksize:] - cs[:, :, :-ksize]  # (B, C, Hp-k+1, Wp)
+    cs = jnp.cumsum(v, axis=3)
+    zero = jnp.zeros_like(cs[:, :, :, :1])
+    cs = jnp.concatenate([zero, cs], axis=3)
+    return cs[:, :, :, ksize:] - cs[:, :, :, :-ksize]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _fused_group(
+    img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype
+) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, C*n_g) energies for one scale group,
+    channel-major kernel-minor (same as features._group_energies)."""
+    b, h, w, c = img.shape
+    n = len(group.kernel_indices)
+    p = group.ksize // 2
+    r = group.smooth_radius
+    halo = p + r
+    hmid, wmid = h + 2 * r, w + 2 * r
+    hp, wp = h + 2 * halo, w + 2 * halo
+
+    n_c = 1  # kernels per grid step (VMEM-bound; tuned for BSDS shapes)
+    assert n % n_c == 0
+    n_chunks = n // n_c
+
+    mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
+    def _mat(m: np.ndarray) -> jnp.ndarray:
+        # pre-cast on host so the kernel holds exactly one copy in VMEM
+        return jnp.asarray(m).astype(mm_dtype)
+
+    env = _envelope_taps(group.sigma, p)
+    ev = _mat(_toeplitz(env, hmid, np.float32))
+    eh = _mat(_toeplitz(env, wmid, np.float32).T)
+    sm = np.asarray(group.smooth_taps)
+    sv = _mat(_toeplitz(sm, h, np.float32))
+    sh = _mat(_toeplitz(sm, w, np.float32).T)
+
+    freqs = group_frequencies(group, bank).astype(np.float32)  # (n, 2) [wx, wy]
+    mus = _dc_mu(group, bank)  # (n,)
+    par_in = jnp.asarray(
+        np.concatenate(
+            [
+                freqs[:, 0].reshape(n_chunks, n_c),
+                freqs[:, 1].reshape(n_chunks, n_c),
+                mus.reshape(n_chunks, n_c),
+            ],
+            axis=1,
+        )
+    )  # (n_chunks, 3*n_c)
+
+    # channel-first, reflect-padded
+    img_cf = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+    xpad = jnp.pad(
+        img_cf, ((0, 0), (0, 0), (halo, halo), (halo, halo)), mode="reflect"
+    )
+    box = _box_filter(xpad, group.ksize, r)  # (B, C, Hmid, Wmid)
+
+    kernel = functools.partial(
+        _group_kernel, c=c, n_c=n_c, p=p, mm_dtype=mm_dtype
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, c, hp, wp), lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c, hmid, wmid), lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_chunks, 3 * n_c), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((hmid, hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, wmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wmid, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, n_c * c, h, w), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, n_c * c, h, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(
+                2 * b * n * c
+                * (hmid * hp * wp + hmid * wp * wmid + h * hmid * wmid + h * wmid * w)
+            ),
+            bytes_accessed=int(4 * b * (c * hp * wp + n * c * h * w)),
+            transcendentals=int(2 * b * n_chunks * hp * wp),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem stack limit is 16 MB; the fp32 whole-image
+            # path peaks slightly above it on the large-halo groups
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(xpad, box, par_in, ev, eh, sv, sh)
+
+    # (B, n_chunks, n_c*C, H, W): chunk-major kernel, then channel ->
+    # reorder to channel-major kernel-minor (the group contract)
+    out = out.reshape(b, n, c, h, w)
+    out = jnp.transpose(out, (0, 3, 4, 2, 1))  # (B, H, W, C, n)
+    return out.reshape(b, h, w, c * n)
+
+
+def gabor_energies_fused(
+    img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H,W,C*N) smoothed energies, contract order.
+
+    Drop-in replacement for features.gabor_energies / modulated path.
+    """
+    if bank.config.gamma != 1.0:
+        raise ValueError("fused pallas path requires isotropic envelope gamma=1")
+    c = img.shape[-1]
+    parts = [_fused_group(img, g, bank, dtype) for g in bank.groups]
+    cat = jnp.concatenate(parts, axis=-1)
+    perm = jnp.asarray(_energy_permutation(bank, c))
+    return jnp.take(cat, perm, axis=-1)

@@ -1,0 +1,196 @@
+"""Spatial tiling with halo exchange — the large-image path (SURVEY.md §5.7,
+BASELINE config 4: tiled 4K pipeline on v5e-8).
+
+A 4K image exceeds comfortable single-pass VMEM/HBM budgets, and config 4
+shards it across chips: the image's ROW dimension is split over a ``space``
+mesh axis via ``shard_map``. Structure per device:
+
+  1. **Halo exchange**: each device sends its top/bottom ``halo`` rows to its
+     neighbors with ``lax.ppermute`` (the ring-attention-shaped communication
+     of this workload — two neighbor passes over ICI, no all-to-all).
+  2. **Local feature extraction** on the strip + halos (modulated XLA path or
+     the fused Pallas kernel — both are local once halos are present), then
+     crop back to the owned rows.
+  3. **Globally-consistent k-means**: Lloyd iterations where each device
+     computes local label assignments and per-cluster (sum, count), reduced
+     with ``lax.psum`` so every device steps identical centers — the
+     distributed analog of the single-chip solver, bitwise-consistent across
+     mesh shapes up to float reduction order. Init is a deterministic global
+     maximin seeded via all-gathered local candidates.
+
+Edge devices reflect-pad locally (matching the single-device REFLECT_101
+border), interior edges use true neighbor rows, so a tiled run equals the
+untiled run up to float-order — asserted in tests/test_tiling.py on the
+fake 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gabor_color_image_segmentation_tpu.config import PipelineConfig
+from gabor_color_image_segmentation_tpu.models.kmeans import maximin_init
+from gabor_color_image_segmentation_tpu.ops.bank import GaborBank
+
+
+def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """x: (rows, W, C) local strip -> (rows + 2*halo, W, C) with neighbor rows.
+
+    Boundary devices get reflect-padding (REFLECT_101) instead of a neighbor,
+    reproducing the untiled border semantics exactly.
+    """
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+
+    # send my bottom rows to the next device (they become its top halo)
+    from_prev = lax.ppermute(
+        x[-halo:], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    # send my top rows to the previous device (they become its bottom halo)
+    from_next = lax.ppermute(
+        x[:halo], axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    # REFLECT_101 local fallback at the outer borders
+    top_reflect = x[1 : halo + 1][::-1]
+    bot_reflect = x[-halo - 1 : -1][::-1]
+    top = jnp.where(idx == 0, top_reflect, from_prev)
+    bot = jnp.where(idx == n - 1, bot_reflect, from_next)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _global_maximin(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
+    """Deterministic farthest-point init over row-sharded data.
+
+    x: (N_local, D). Every device returns the same (k, D) centers.
+    """
+    n_dev = lax.axis_size(axis_name)
+    mean = lax.pmean(jnp.mean(x, axis=0), axis_name)
+
+    def global_argmax_point(scores):
+        # local winner -> all-gather candidates -> common global winner.
+        # Ties break to the lowest device index (stable, device-count-
+        # dependent only through data placement, like the reference order).
+        i = jnp.argmax(scores)
+        cand_x = x[i]
+        cand_s = scores[i]
+        all_x = lax.all_gather(cand_x, axis_name)  # (n_dev, D)
+        all_s = lax.all_gather(cand_s, axis_name)  # (n_dev,)
+        j = jnp.argmax(all_s)
+        return all_x[j]
+
+    c0 = global_argmax_point(jnp.sum((x - mean) ** 2, axis=1))
+    centers = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(c0)
+    dmin = jnp.sum((x - c0) ** 2, axis=1)
+
+    def body(i, carry):
+        centers, dmin = carry
+        c = global_argmax_point(dmin)
+        centers = centers.at[i].set(c)
+        dmin = jnp.minimum(dmin, jnp.sum((x - c) ** 2, axis=1))
+        return centers, dmin
+
+    centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
+    return centers
+
+
+def kmeans_sharded(
+    x: jnp.ndarray, k: int, n_iter: int, axis_name: str
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed Lloyd over row-sharded pixels. x: (N_local, D) ->
+    (labels (N_local,) int32, centers (k, D) replicated)."""
+    x = x.astype(jnp.float32)
+    centers0 = _global_maximin(x, k, axis_name)
+
+    def assign(centers):
+        scores = jnp.sum(centers * centers, axis=1) - 2.0 * jnp.dot(
+            x, centers.T, preferred_element_type=jnp.float32
+        )
+        return jnp.argmin(scores, axis=1)
+
+    def body(_, centers):
+        labels = assign(centers)
+        onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+        sums = lax.psum(
+            jnp.dot(onehot.T, x, preferred_element_type=jnp.float32), axis_name
+        )
+        counts = lax.psum(jnp.sum(onehot, axis=0), axis_name)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where(counts[:, None] > 0, new, centers)
+
+    centers = lax.fori_loop(0, n_iter, body, centers0)
+    labels = assign(centers).astype(jnp.int32)
+    return labels, centers
+
+
+def segment_tiled(
+    rgb: jnp.ndarray,
+    cfg: PipelineConfig,
+    bank: GaborBank,
+    mesh: Mesh,
+    axis_name: str = "space",
+) -> jnp.ndarray:
+    """(H, W, 3) single large image, rows sharded over mesh[axis_name] ->
+    (H, W) int32 labels (same sharding). Feature stage local-with-halos;
+    clustering globally consistent via psum."""
+    from jax import shard_map
+
+    from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
+    from gabor_color_image_segmentation_tpu.ops.features import assemble_features
+    from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
+
+    h, w, _ = rgb.shape
+    n_dev = mesh.shape[axis_name]
+    assert h % n_dev == 0, f"H={h} must divide over {n_dev} devices"
+    halo = bank.max_halo
+    if halo >= h // n_dev:
+        raise ValueError(
+            f"halo {halo} >= strip height {h // n_dev}: single-hop ppermute "
+            f"halo exchange needs strips taller than the bank halo — use "
+            f"fewer devices along {axis_name!r} or a smaller-scale bank"
+        )
+
+    def local_fn(rgb_strip):
+        # rgb_strip: (rows, W, 3) uint8/float
+        color = _color_transform(rgb_strip, cfg.color_space)
+        colorh = _halo_exchange_rows(color, halo, axis_name)
+        energies = gabor_energies_mod(colorh[None], bank)[0]
+        energies = energies[halo:-halo]  # crop to owned rows
+
+        # per-image standardization needs GLOBAL moments
+        feats = jnp.concatenate([energies, color], axis=-1)
+        if cfg.cluster.normalize:
+            cnt = feats.shape[0] * feats.shape[1]
+            total = lax.psum(cnt, axis_name)
+            mean = lax.psum(jnp.sum(feats, axis=(0, 1)), axis_name) / total
+            var = (
+                lax.psum(jnp.sum((feats - mean) ** 2, axis=(0, 1)), axis_name)
+                / total
+            )
+            feats = (feats - mean) / (jnp.sqrt(var) + 1e-6)
+        e = energies.shape[-1]
+        cw = cfg.cluster.color_weight * float(np.sqrt(e / 3.0))
+        scale = jnp.concatenate(
+            [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
+        )
+        feats = feats * scale
+
+        rows = feats.shape[0]
+        labels, _ = kmeans_sharded(
+            feats.reshape(rows * w, -1), cfg.cluster.k, cfg.cluster.n_iter, axis_name
+        )
+        return labels.reshape(rows, w).astype(jnp.int32)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(axis_name, None),
+    )
+    return jax.jit(fn)(rgb)

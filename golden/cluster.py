@@ -39,15 +39,19 @@ def kmeans_golden(
     x = x.astype(np.float32)
     centers = maximin_init_np(x, k).astype(np.float32)
     labels = np.zeros(x.shape[0], dtype=np.int32)
-    x_sq = (x**2).sum(axis=1, keepdims=True)  # (N,1)
+    # assignment scores drop the per-pixel ||x||^2 (constant across centers)
+    # — identical reduction to models/kmeans.py for label parity
+    def assign(centers):
+        d = (centers**2).sum(axis=1) - 2.0 * (x @ centers.T)
+        return np.argmin(d, axis=1).astype(np.int32)
+
     for _ in range(n_iter):
-        d = x_sq - 2.0 * (x @ centers.T) + (centers**2).sum(axis=1)
-        labels = np.argmin(d, axis=1).astype(np.int32)
+        labels = assign(centers)
         for j in range(k):
             m = labels == j
             if m.any():
                 centers[j] = x[m].mean(axis=0)
-    return labels, centers
+    return assign(centers), centers
 
 
 def gmm_golden(

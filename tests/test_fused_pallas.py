@@ -1,0 +1,43 @@
+"""Fused Pallas kernel parity (interpreter mode on CPU — the Pallas
+'sanitizer' per SURVEY.md §5.2; the same suite runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+from gabor_color_image_segmentation_tpu.config import BankConfig
+from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+from gabor_color_image_segmentation_tpu.ops.features import gabor_energies
+from gabor_color_image_segmentation_tpu.ops.fused_pallas import gabor_energies_fused
+from golden.features import rgb_to_lab_np
+
+CFG = BankConfig(scales=(2.0, 3.0), orientations=2, frequencies=(0.12,))
+
+
+@pytest.fixture(scope="module")
+def lab(tiny_mosaic):
+    rgb, _ = tiny_mosaic
+    return rgb_to_lab_np(rgb)
+
+
+def test_matches_direct_path(lab):
+    bank = make_bank(CFG)
+    direct = np.asarray(gabor_energies(lab[None], bank))[0]
+    fused = np.asarray(gabor_energies_fused(lab[None], bank))[0]
+    assert fused.shape == direct.shape
+    peak = np.abs(direct).max()
+    np.testing.assert_allclose(fused, direct, atol=2e-3 * peak, rtol=1e-3)
+
+
+def test_batch(lab):
+    bank = make_bank(BankConfig(scales=(2.0,), orientations=2))
+    two = np.stack([lab, lab[::-1].copy()])
+    fused = np.asarray(gabor_energies_fused(two, bank))
+    direct = np.asarray(gabor_energies(two, bank))
+    peak = np.abs(direct).max()
+    np.testing.assert_allclose(fused, direct, atol=2e-3 * peak, rtol=1e-3)
+
+
+def test_rejects_anisotropic(lab):
+    bank = make_bank(BankConfig(scales=(2.0,), orientations=2, gamma=0.7))
+    with pytest.raises(ValueError, match="gamma"):
+        gabor_energies_fused(lab[None], bank)

@@ -1,0 +1,60 @@
+"""Spatial tiling + halo exchange + distributed k-means on the fake
+8-device CPU mesh (SURVEY.md §4.4): tiled result == untiled result."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from jax.sharding import Mesh
+
+from gabor_color_image_segmentation_tpu.config import BankConfig, preset
+from gabor_color_image_segmentation_tpu.data.synthetic import synthetic_mosaic
+from gabor_color_image_segmentation_tpu.models.pipeline import segment_image
+from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+from gabor_color_image_segmentation_tpu.parallel.tiling import segment_tiled
+from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 (fake) devices")
+    return Mesh(np.asarray(devs[:8]), ("space",))
+
+
+def _small_cfg():
+    cfg = preset("config0").replace(feature_impl="modulated")
+    return cfg.replace(
+        bank=BankConfig(scales=(2.0, 3.0), orientations=3, frequencies=None)
+    )
+
+
+def test_tiled_equals_untiled(mesh8):
+    # H=256 over 8 devices -> 32-row strips > 18-row halo of the test bank
+    rgb, gt = synthetic_mosaic(h=256, w=96, n_regions=4, seed=5)
+    cfg = _small_cfg()
+    bank = make_bank(cfg.bank)
+    assert bank.max_halo < 256 // 8
+
+    tiled = np.asarray(segment_tiled(rgb, cfg, bank, mesh8))
+    untiled, _ = segment_image(rgb, cfg, bank)
+    untiled = np.asarray(untiled)
+
+    aligned = align_labels(tiled, untiled)
+    agree = (aligned == untiled).mean()
+    assert agree > 0.999, f"tiled-vs-untiled agreement {agree}"
+
+
+def test_tiled_on_two_devices(mesh8):
+    devs = jax.devices()[:2]
+    mesh2 = Mesh(np.asarray(devs), ("space",))
+    rgb, _ = synthetic_mosaic(h=64, w=96, n_regions=3, seed=9)
+    cfg = _small_cfg()
+    bank = make_bank(cfg.bank)
+    tiled = np.asarray(segment_tiled(rgb, cfg, bank, mesh2))
+    untiled, _ = segment_image(rgb, cfg, bank)
+    aligned = align_labels(tiled, np.asarray(untiled))
+    agree = (aligned == np.asarray(untiled)).mean()
+    assert agree > 0.999, f"2-device agreement {agree}"
