@@ -60,21 +60,32 @@ def default_tolerance(h: int, w: int, frac: float = 0.0075) -> float:
 
 def _match_one(pred_b: np.ndarray, gt_b: np.ndarray, tol: float):
     """One-to-one greedy matching. Returns (pred_matched, gt_matched) masks
-    over the respective boundary-pixel lists."""
-    from scipy.spatial import cKDTree
-
+    over the respective boundary-pixel lists. Uses the C++ native matcher
+    when available (utils/native.py); identical tie-break (d, i, j) in the
+    Python fallback."""
     pp = np.argwhere(pred_b)
     gg = np.argwhere(gt_b)
     pm = np.zeros(len(pp), bool)
     gm = np.zeros(len(gg), bool)
     if len(pp) == 0 or len(gg) == 0:
         return pm, gm
+
+    from gabor_color_image_segmentation_tpu.utils.native import greedy_match_native
+
+    native = greedy_match_native(pp, gg, tol)
+    if native is not None:
+        return native
+
+    from scipy.spatial import cKDTree
+
     tree = cKDTree(gg)
     pairs = tree.query_ball_point(pp, r=tol)
     cand = [
-        (np.hypot(*(pp[i] - gg[j])), i, j) for i, js in enumerate(pairs) for j in js
+        (float(np.hypot(*(pp[i] - gg[j]))), i, j)
+        for i, js in enumerate(pairs)
+        for j in js
     ]
-    cand.sort(key=lambda t: t[0])
+    cand.sort()
     for _, i, j in cand:
         if not pm[i] and not gm[j]:
             pm[i] = True

@@ -77,12 +77,14 @@ def segment_batch(
     (SLIC + n-cut), when enabled, refines the label maps (models/graph.py).
     """
     b, h, w, _ = rgb.shape
-    feats = compute_features(rgb, cfg, bank)
+    with jax.named_scope("features"):
+        feats = compute_features(rgb, cfg, bank)
     d = feats.shape[-1]
     flat = feats.reshape(b, h * w, d)
 
+    kmeans_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     if cfg.cluster.method == "kmeans":
-        cluster = lambda f: kmeans(f, cfg.cluster.k, cfg.cluster.n_iter)[0]
+        cluster = lambda f: kmeans(f, cfg.cluster.k, cfg.cluster.n_iter, kmeans_dtype)[0]
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
 
@@ -92,12 +94,14 @@ def segment_batch(
     else:
         raise ValueError(cfg.cluster.method)
 
-    labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
+    with jax.named_scope("cluster"):
+        labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
 
     if cfg.graph.enabled:
         from gabor_color_image_segmentation_tpu.models.graph import graph_segment_batch
 
-        labels = graph_segment_batch(feats, _color_transform(rgb, "lab"), cfg)
+        with jax.named_scope("graph_cut"):
+            labels = graph_segment_batch(feats, _color_transform(rgb, "lab"), cfg)
     return labels, feats
 
 

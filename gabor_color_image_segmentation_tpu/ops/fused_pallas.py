@@ -59,20 +59,44 @@ def _toeplitz(taps: np.ndarray, n_out: int, dtype) -> np.ndarray:
     return t.astype(dtype)
 
 
+def _toeplitz_reflect(taps: np.ndarray, n: int, dtype) -> np.ndarray:
+    """(n, n) SAME-size correlation matrix with REFLECT_101 borders folded in:
+    T[i, reflect(i - r + t)] += taps[t]. Applying it to an UNPADDED signal
+    equals reflect-pad + VALID correlation — this is how the fused kernel
+    reproduces the reference's smooth(reflect_pad(magnitude)) border
+    semantics exactly (reflecting the magnitude map, NOT extending the
+    underlying complex response, which differs for diagonal orientations)."""
+    k = len(taps)
+    r = k // 2
+    t = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for tt in range(k):
+            j = i - r + tt
+            # REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
+            while j < 0 or j >= n:
+                if j < 0:
+                    j = -j
+                if j >= n:
+                    j = 2 * (n - 1) - j
+            t[i, j] += taps[tt]
+    return t.astype(dtype)
+
+
 def _group_kernel(
-    x_ref,  # (1, C, Hp, Wp) f32 padded image
-    box_ref,  # (1, C, Hmid, Wmid) f32 box sums (DC correction)
+    x_ref,  # (1, C, Hp, Wp) f32 padded image (Hp = H + 2p)
+    box_ref,  # (1, C, H, W) f32 box sums (DC correction)
     par_ref,  # (n_chunks, 3*n_c) f32 SMEM (full): [wx..., wy..., mu...]
-    ev_ref,  # (Hmid, Hp) envelope Toeplitz (vertical)
-    eh_ref,  # (Wp, Wmid) envelope Toeplitz (horizontal, transposed)
-    sv_ref,  # (H, Hmid) smoothing Toeplitz (vertical)
-    sh_ref,  # (Wmid, W) smoothing Toeplitz (horizontal, transposed)
+    ev_ref,  # (H, Hp) envelope Toeplitz (vertical)
+    eh_ref,  # (Wp, W) envelope Toeplitz (horizontal, transposed)
+    sv_ref,  # (H, H) smoothing Toeplitz, REFLECT_101 folded (vertical)
+    sh_ref,  # (W, W) smoothing Toeplitz, REFLECT_101 folded (horiz, transposed)
     out_ref,  # (1, 1, n_c*C, H, W) f32 energies
     *,
     c: int,
     n_c: int,
     p: int,
     mm_dtype,
+    precision,
 ):
     hp, wp = x_ref.shape[2], x_ref.shape[3]
     hmid, wmid = ev_ref.shape[0], eh_ref.shape[1]
@@ -95,10 +119,13 @@ def _group_kernel(
             img = x_ref[0, cc]
 
             def blur(m):
-                v = jnp.dot(ev_ref[...], m, preferred_element_type=jnp.float32)
+                v = jnp.dot(
+                    ev_ref[...], m,
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
                 return jnp.dot(
                     v.astype(mm_dtype), eh_ref[...],
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=precision,
                 )
 
             # cos(wy y + wx x) = cy cx - sy sx ; sin = sy cx + cy sx
@@ -113,10 +140,13 @@ def _group_kernel(
             re = cos_p * g_re - sin_p * g_im - mu * box_ref[0, cc]
             im = sin_p * g_re + cos_p * g_im
             mag = jnp.sqrt(re * re + im * im).astype(mm_dtype)
-            sm = jnp.dot(sv_ref[...], mag, preferred_element_type=jnp.float32)
+            sm = jnp.dot(
+                sv_ref[...], mag,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
             sm = jnp.dot(
                 sm.astype(mm_dtype), sh_ref[...],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             )
             out_ref[0, 0, jj * c + cc] = sm
 
@@ -146,8 +176,8 @@ def _fused_group(
     n = len(group.kernel_indices)
     p = group.ksize // 2
     r = group.smooth_radius
-    halo = p + r
-    hmid, wmid = h + 2 * r, w + 2 * r
+    halo = p  # conv halo only; smoothing borders fold into the Toeplitz
+    hmid, wmid = h, w
     hp, wp = h + 2 * halo, w + 2 * halo
 
     n_c = 1  # kernels per grid step (VMEM-bound; tuned for BSDS shapes)
@@ -164,8 +194,8 @@ def _fused_group(
     ev = _mat(_toeplitz(env, hmid, np.float32))
     eh = _mat(_toeplitz(env, wmid, np.float32).T)
     sm = np.asarray(group.smooth_taps)
-    sv = _mat(_toeplitz(sm, h, np.float32))
-    sh = _mat(_toeplitz(sm, w, np.float32).T)
+    sv = _mat(_toeplitz_reflect(sm, h, np.float32))
+    sh = _mat(_toeplitz_reflect(sm, w, np.float32).T)
 
     freqs = group_frequencies(group, bank).astype(np.float32)  # (n, 2) [wx, wy]
     mus = _dc_mu(group, bank)  # (n,)
@@ -180,15 +210,25 @@ def _fused_group(
         )
     )  # (n_chunks, 3*n_c)
 
-    # channel-first, reflect-padded
+    # channel-first, reflect-padded, per-channel CENTERED: for any constant
+    # shift c the DC-corrected response is invariant (the mu*box correction
+    # absorbs it exactly), and centering shrinks the large near-DC blur
+    # intermediates ~5x — the difference between catastrophic cancellation
+    # and clean bf16/MXU numerics (see tests/test_fused_pallas.py).
     img_cf = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+    img_cf = img_cf - jnp.mean(img_cf, axis=(2, 3), keepdims=True)
     xpad = jnp.pad(
         img_cf, ((0, 0), (0, 0), (halo, halo), (halo, halo)), mode="reflect"
     )
     box = _box_filter(xpad, group.ksize, r)  # (B, C, Hmid, Wmid)
 
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if mm_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     kernel = functools.partial(
-        _group_kernel, c=c, n_c=n_c, p=p, mm_dtype=mm_dtype
+        _group_kernel, c=c, n_c=n_c, p=p, mm_dtype=mm_dtype, precision=precision
     )
 
     out = pl.pallas_call(

@@ -10,7 +10,10 @@ from gabor_color_image_segmentation_tpu.ops.features import gabor_energies
 from gabor_color_image_segmentation_tpu.ops.fused_pallas import gabor_energies_fused
 from golden.features import rgb_to_lab_np
 
-CFG = BankConfig(scales=(2.0, 3.0), orientations=2, frequencies=(0.12,))
+# 3 orientations => diagonal thetas: reflected-border magnitude is NOT
+# symmetric for diagonal kernels, which is exactly the border-semantics bug
+# class the axis-aligned orientations (0/90 deg) cannot detect
+CFG = BankConfig(scales=(2.0, 3.0), orientations=3, frequencies=(0.12,))
 
 
 @pytest.fixture(scope="module")
@@ -29,7 +32,7 @@ def test_matches_direct_path(lab):
 
 
 def test_batch(lab):
-    bank = make_bank(BankConfig(scales=(2.0,), orientations=2))
+    bank = make_bank(BankConfig(scales=(2.0,), orientations=3))
     two = np.stack([lab, lab[::-1].copy()])
     fused = np.asarray(gabor_energies_fused(two, bank))
     direct = np.asarray(gabor_energies(two, bank))
