@@ -111,6 +111,7 @@ class ClusterConfig:
     method: str = "kmeans"  # "kmeans" | "gmm"
     k: int = 5
     n_iter: int = 25  # Lloyd iterations / EM iterations
+    subsample: int = 1  # fit Lloyd on every n-th pixel (1 = exact; speed knob)
     color_weight: float = 1.0  # relative weight of Lab dims vs energy dims
     normalize: bool = True  # per-image feature standardization
     gmm_reg_covar: float = 1e-4

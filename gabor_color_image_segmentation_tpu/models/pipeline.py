@@ -84,7 +84,11 @@ def segment_batch(
 
     kmeans_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     if cfg.cluster.method == "kmeans":
-        cluster = lambda f: kmeans(f, cfg.cluster.k, cfg.cluster.n_iter, kmeans_dtype)[0]
+        from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_fit_assign
+
+        cluster = lambda f: kmeans_fit_assign(
+            f, cfg.cluster.k, cfg.cluster.n_iter, kmeans_dtype, cfg.cluster.subsample
+        )[0]
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
 

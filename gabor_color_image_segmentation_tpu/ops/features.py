@@ -12,9 +12,18 @@ correlation; BORDER_REFLECT_101 is the default border), which the golden CPU
 path uses verbatim. ``lax.conv_general_dilated`` computes correlation
 natively, so filters are used unflipped.
 
-Feature layout contract (shared with golden/):
+Feature layout contract (shared with golden/ and all three implementations):
 
-    energies[..., ch * N + j]  = smoothed |I_ch * K_j|,  j = global kernel idx
+    energies = concat over scale groups of per-group blocks; within a group
+    the block is KERNEL-major, channel-minor:
+
+        energies[..., group_offset(g) + j_within_group * C + ch]
+
+    (feature order is irrelevant to the clustering stages — distances are
+    permutation-invariant across dims — so the contract is chosen to be the
+    natural zero-copy output order of the fused Pallas kernel; golden/ and
+    the XLA paths emit the identical order.)
+
     features = concat([energies, color]) -> (..., 3N + 3)
     optional per-image standardization; color dims scaled by color_weight.
 
@@ -83,44 +92,44 @@ def _separable_smooth(x: jnp.ndarray, taps: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _group_energies(img: jnp.ndarray, group: ScaleGroup, dtype) -> jnp.ndarray:
-    """Energies for one scale group. img: (B,H,W,C) -> (B,H,W,C*n_g)."""
+    """Energies for one scale group. img: (B,H,W,C) -> (B,H,W,n_g*C) in
+    contract order (kernel-major, channel-minor)."""
+    b, h, w, c = img.shape
+    n = len(group.kernel_indices)
     r = group.ksize // 2
     filt = jnp.asarray(group.filters_hwio)  # (k,k,1,2n)
     x = _reflect_pad(img, r, r)
     resp = _depthwise_conv(x, filt, dtype)  # (B,H,W,C*2n) [ch-major groups]
     re = resp[..., 0::2]
     im = resp[..., 1::2]
-    mag = jnp.sqrt(re * re + im * im)  # (B,H,W,C*n)
+    mag = jnp.sqrt(re * re + im * im)  # (B,H,W,C*n) channel-major
     taps = jnp.asarray(group.smooth_taps)
-    return _separable_smooth(mag, taps, dtype)
+    sm = _separable_smooth(mag, taps, dtype)
+    # channel-major -> kernel-major (contract order; cheap last-dim shuffle)
+    return jnp.transpose(sm.reshape(b, h, w, c, n), (0, 1, 2, 4, 3)).reshape(
+        b, h, w, n * c
+    )
 
 
-def _energy_permutation(bank: GaborBank, n_channels: int) -> np.ndarray:
-    """Static gather indices mapping concat-of-groups order -> contract order
-    energies[..., ch*N + global_kernel_idx]."""
-    n = bank.n_kernels
-    # position of (ch, global_kernel) in the concatenated group outputs
-    pos = np.zeros((n_channels, n), dtype=np.int64)
+def energy_index(bank: GaborBank, n_channels: int, kernel_idx: int, ch: int) -> int:
+    """Contract-order position of (global kernel index, channel) in the
+    energy axis: group blocks in bank.groups order, kernel-major within."""
     offset = 0
     for g in bank.groups:
-        ng = len(g.kernel_indices)
-        for ch in range(n_channels):
-            for j, kidx in enumerate(g.kernel_indices):
-                pos[ch, kidx] = offset + ch * ng + j
-        offset += n_channels * ng
-    return pos.reshape(-1)  # (C*N,) gather index into concat axis
+        if kernel_idx in g.kernel_indices:
+            j = g.kernel_indices.index(kernel_idx)
+            return offset + j * n_channels + ch
+        offset += len(g.kernel_indices) * n_channels
+    raise IndexError(kernel_idx)
 
 
 def gabor_energies(
     img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32
 ) -> jnp.ndarray:
-    """(B,H,W,C) image (Lab or RGB channels) -> (B,H,W,C*N) smoothed energies
-    in contract order (channel-major, global kernel index minor)."""
-    c = img.shape[-1]
+    """(B,H,W,C) image (Lab or RGB channels) -> (B,H,W,N*C) smoothed energies
+    in contract order (group blocks; kernel-major, channel-minor within)."""
     parts = [_group_energies(img, g, dtype) for g in bank.groups]
-    cat = jnp.concatenate(parts, axis=-1)
-    perm = jnp.asarray(_energy_permutation(bank, c))
-    return jnp.take(cat, perm, axis=-1)
+    return jnp.concatenate(parts, axis=-1)
 
 
 def assemble_features(
@@ -139,19 +148,22 @@ def assemble_features(
 
     energies: (B,H,W,E), color: (B,H,W,3) -> (B,H,W,E+3) float32.
     """
+    out_dtype = energies.dtype if energies.dtype == jnp.bfloat16 else jnp.float32
     feats = jnp.concatenate(
-        [energies.astype(jnp.float32), color.astype(jnp.float32)], axis=-1
+        [energies.astype(out_dtype), color.astype(out_dtype)], axis=-1
     )
-    if cluster_cfg.normalize:
-        mean = jnp.mean(feats, axis=(1, 2), keepdims=True)
-        std = jnp.std(feats, axis=(1, 2), keepdims=True)
-        feats = (feats - mean) / (std + eps)
     e = energies.shape[-1]
     cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
     scale = jnp.concatenate(
         [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
     )
-    return feats * scale
+    if cluster_cfg.normalize:
+        # moments accumulate in f32 regardless of the storage dtype
+        f32 = feats.astype(jnp.float32)
+        mean = jnp.mean(f32, axis=(1, 2), keepdims=True)
+        std = jnp.std(f32, axis=(1, 2), keepdims=True)
+        return ((f32 - mean) / (std + eps) * scale).astype(out_dtype)
+    return (feats.astype(jnp.float32) * scale).astype(out_dtype)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))

@@ -41,7 +41,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gabor_color_image_segmentation_tpu.ops.bank import GaborBank, ScaleGroup
-from gabor_color_image_segmentation_tpu.ops.features import _energy_permutation
 from gabor_color_image_segmentation_tpu.ops.modulated import (
     _dc_mu,
     _envelope_taps,
@@ -148,7 +147,7 @@ def _group_kernel(
                 sm.astype(mm_dtype), sh_ref[...],
                 preferred_element_type=jnp.float32, precision=precision,
             )
-            out_ref[0, 0, jj * c + cc] = sm
+            out_ref[0, 0, jj * c + cc] = sm.astype(out_ref.dtype)
 
 
 def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
@@ -255,7 +254,9 @@ def _fused_group(
             (1, 1, n_c * c, h, w), lambda i, j: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks, n_c * c, h, w), jnp.float32),
+        # bf16 mode also stores bf16 energies: halves the kernel's write
+        # traffic and keeps the whole feature tensor bf16 through clustering
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, n_c * c, h, w), mm_dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(
                 2 * b * n * c
@@ -272,11 +273,11 @@ def _fused_group(
         interpret=jax.default_backend() != "tpu",
     )(xpad, box, par_in, ev, eh, sv, sh)
 
-    # (B, n_chunks, n_c*C, H, W): chunk-major kernel, then channel ->
-    # reorder to channel-major kernel-minor (the group contract)
-    out = out.reshape(b, n, c, h, w)
-    out = jnp.transpose(out, (0, 3, 4, 2, 1))  # (B, H, W, C, n)
-    return out.reshape(b, h, w, c * n)
+    # (B, n_chunks, n_c*C, H, W) is already the contract order (kernel-major,
+    # channel-minor) along a flattened channel axis — only the channel-first
+    # -> channel-last layout change remains
+    out = out.reshape(b, n * c, h, w)
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def gabor_energies_fused(
@@ -288,8 +289,5 @@ def gabor_energies_fused(
     """
     if bank.config.gamma != 1.0:
         raise ValueError("fused pallas path requires isotropic envelope gamma=1")
-    c = img.shape[-1]
     parts = [_fused_group(img, g, bank, dtype) for g in bank.groups]
-    cat = jnp.concatenate(parts, axis=-1)
-    perm = jnp.asarray(_energy_permutation(bank, c))
-    return jnp.take(cat, perm, axis=-1)
+    return jnp.concatenate(parts, axis=-1)

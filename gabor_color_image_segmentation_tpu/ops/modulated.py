@@ -33,11 +33,7 @@ import numpy as np
 from jax import lax
 
 from gabor_color_image_segmentation_tpu.ops.bank import GaborBank, ScaleGroup
-from gabor_color_image_segmentation_tpu.ops.features import (
-    _DN,
-    _energy_permutation,
-    _reflect_pad,
-)
+from gabor_color_image_segmentation_tpu.ops.features import _DN, _reflect_pad
 
 
 def _envelope_taps(sigma: float, radius: int) -> np.ndarray:
@@ -156,7 +152,9 @@ def modulated_group_energies(
     re = cos_p * g[..., 0] - sin_p * g[..., 1]  # (B,H,W,C,n)
     im = sin_p * g[..., 0] + cos_p * g[..., 1]
     re = re - mus.reshape(1, 1, 1, 1, -1) * box[..., None]
-    mag = jnp.sqrt(re * re + im * im).reshape(b, h, w, c * n)
+    # (B,H,W,C,n) -> contract order: kernel-major, channel-minor
+    mag = jnp.sqrt(re * re + im * im)
+    mag = jnp.transpose(mag, (0, 1, 2, 4, 3)).reshape(b, h, w, n * c)
 
     # Gaussian energy smoothing (normalized taps), reflect-padded
     s = _sep_1d(_reflect_pad(mag, r, 0), smooth, 1, dtype)
@@ -167,9 +165,6 @@ def modulated_group_energies(
 def gabor_energies_mod(
     img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32
 ) -> jnp.ndarray:
-    """(B,H,W,C) -> (B,H,W,C*N) energies, contract order; fast XLA path."""
-    c = img.shape[-1]
+    """(B,H,W,C) -> (B,H,W,N*C) energies, contract order; fast XLA path."""
     parts = [modulated_group_energies(img, g, bank, dtype) for g in bank.groups]
-    cat = jnp.concatenate(parts, axis=-1)
-    perm = jnp.asarray(_energy_permutation(bank, c))
-    return jnp.take(cat, perm, axis=-1)
+    return jnp.concatenate(parts, axis=-1)

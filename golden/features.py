@@ -63,19 +63,22 @@ def _sep_smooth(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
 
 
 def gabor_energies_golden(img: np.ndarray, bank: GaborBank) -> np.ndarray:
-    """(H,W,C) channels -> (H,W,C*N) smoothed energies, contract order."""
+    """(H,W,C) channels -> (H,W,N*C) smoothed energies, contract order
+    (group blocks; kernel-major, channel-minor — ops/features.py docstring)."""
     h, w, c = img.shape
     n = bank.n_kernels
-    out = np.zeros((h, w, c * n), dtype=np.float32)
+    out = np.zeros((h, w, n * c), dtype=np.float32)
+    offset = 0
     for g in bank.groups:
-        for j, kidx in enumerate(g.kernel_indices):
+        for j in range(len(g.kernel_indices)):
             k_re = g.filters_hwio[:, :, 0, 2 * j]
             k_im = g.filters_hwio[:, :, 0, 2 * j + 1]
             for ch in range(c):
                 re = _corr2d(img[:, :, ch], k_re)
                 im = _corr2d(img[:, :, ch], k_im)
                 mag = np.sqrt(re * re + im * im)
-                out[:, :, ch * n + kidx] = _sep_smooth(mag, g.smooth_taps)
+                out[:, :, offset + j * c + ch] = _sep_smooth(mag, g.smooth_taps)
+        offset += len(g.kernel_indices) * c
     return out
 
 

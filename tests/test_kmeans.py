@@ -55,3 +55,17 @@ def test_empty_cluster_keeps_center():
     labels, centers = kmeans(x, 3, 5)
     assert np.asarray(labels).max() <= 2
     assert np.isfinite(np.asarray(centers)).all()
+
+
+def test_subsampled_close_to_exact(rng):
+    from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_fit_assign
+
+    x, _ = _blobs(rng, n=4000, k=4, d=10, spread=0.05)
+    exact, _ = kmeans_fit_assign(x, 4, 25)
+    import jax.numpy as jnp
+
+    fast, _ = kmeans_fit_assign(x, 4, 25, jnp.float32, 4)
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    aligned = align_labels(np.asarray(fast), np.asarray(exact))
+    assert (aligned == np.asarray(exact)).mean() > 0.99
