@@ -89,7 +89,12 @@ def cmd_eval(args):
     cfg = _build_cfg(args)
     data = load_split(args.split, limit=args.limit)
     summary = evaluate(
-        data, cfg, out_path=args.out, resume=args.resume, profile_dir=args.profile
+        data,
+        cfg,
+        out_path=args.out,
+        resume=args.resume,
+        profile_dir=args.profile,
+        debug_nans=args.debug_nans,
     )
     print(json.dumps(summary))
 
@@ -142,6 +147,7 @@ def main(argv=None):
     p_eval.add_argument("--out", default=None, help="per-image jsonl path")
     p_eval.add_argument("--resume", action="store_true")
     p_eval.add_argument("--profile", default=None, help="jax profiler trace dir")
+    p_eval.add_argument("--debug-nans", action="store_true", help="jax_debug_nans")
     p_eval.set_defaults(fn=cmd_eval)
 
     p_info = sub.add_parser("info", help="describe a preset / bank")

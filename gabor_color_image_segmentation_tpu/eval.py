@@ -51,9 +51,13 @@ def evaluate(
     out_path: Optional[str] = None,
     resume: bool = False,
     profile_dir: Optional[str] = None,
+    debug_nans: bool = False,
 ) -> dict:
     """Run cfg over (id, rgb, gts) items -> summary dict; jsonl side effect."""
     import jax
+
+    if debug_nans:  # the TPU-side numerical 'sanitizer' (SURVEY.md §5.2)
+        jax.config.update("jax_debug_nans", True)
 
     bank = make_bank(cfg.bank)
     done = _done_ids(out_path) if (resume and out_path) else set()

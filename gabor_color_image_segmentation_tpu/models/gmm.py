@@ -100,7 +100,20 @@ def gmm_fit(
 
 
 def gmm_predict(
-    x: jnp.ndarray, k: int, n_iter: int = 30, reg_covar: float = 1e-4
+    x: jnp.ndarray,
+    k: int,
+    n_iter: int = 30,
+    reg_covar: float = 1e-4,
+    subsample: int = 1,
 ) -> jnp.ndarray:
-    """Labels-only entry used by the pipeline."""
-    return gmm_fit(x, k, n_iter, reg_covar)[0]
+    """Labels-only entry used by the pipeline.
+
+    subsample > 1 fits EM on every n-th pixel and runs one final E-step over
+    all pixels (documented speed knob, exact when 1 — same contract as
+    kmeans_fit_assign)."""
+    if subsample == 1:
+        return gmm_fit(x, k, n_iter, reg_covar)[0]
+    x = x.astype(jnp.float32)
+    _, _, params = gmm_fit(x[::subsample], k, n_iter, reg_covar)
+    log_resp, _ = _e_step(x, params)
+    return jnp.argmax(log_resp, axis=1).astype(jnp.int32)

@@ -93,7 +93,11 @@ def segment_batch(
         from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
 
         cluster = lambda f: gmm_predict(
-            f, cfg.cluster.k, cfg.cluster.n_iter, cfg.cluster.gmm_reg_covar
+            f,
+            cfg.cluster.k,
+            cfg.cluster.n_iter,
+            cfg.cluster.gmm_reg_covar,
+            cfg.cluster.subsample,
         )
     else:
         raise ValueError(cfg.cluster.method)

@@ -75,3 +75,16 @@ def test_batch_consistency(lab, bank):
     e2 = np.asarray(gabor_energies(two, bank))
     e0 = np.asarray(gabor_energies(lab[None], bank))[0]
     np.testing.assert_allclose(e2[0], e0, atol=1e-5)
+
+
+def test_energy_index_helper(bank):
+    from gabor_color_image_segmentation_tpu.ops.features import energy_index
+
+    seen = set()
+    for g in bank.groups:
+        for kidx in g.kernel_indices:
+            for ch in range(3):
+                pos = energy_index(bank, 3, kidx, ch)
+                assert pos not in seen
+                seen.add(pos)
+    assert seen == set(range(3 * bank.n_kernels))

@@ -64,3 +64,14 @@ def test_weights_sum_to_one(rng):
     np.testing.assert_allclose(
         np.asarray(resp).sum(axis=1), np.ones(x.shape[0]), atol=1e-4
     )
+
+
+def test_subsampled_close_to_exact(rng):
+    from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    x, _ = _blobs(rng, n=3000, k=3, d=6, spread=0.1)
+    exact = np.asarray(gmm_predict(x, 3, 20))
+    fast = np.asarray(gmm_predict(x, 3, 20, subsample=4))
+    aligned = align_labels(fast, exact)
+    assert (aligned == exact).mean() > 0.98

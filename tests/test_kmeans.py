@@ -69,3 +69,14 @@ def test_subsampled_close_to_exact(rng):
 
     aligned = align_labels(np.asarray(fast), np.asarray(exact))
     assert (aligned == np.asarray(exact)).mean() > 0.99
+
+
+def test_fused_pallas_matches_plain(rng):
+    """Interpret-mode fused Lloyd step == plain XLA kmeans (same math)."""
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import kmeans_fused
+
+    x, _ = _blobs(rng, n=3000, k=4, d=16)
+    l_plain, c_plain = kmeans(x, 4, 15)
+    l_fused, c_fused = kmeans_fused(x, 4, 15)
+    assert (np.asarray(l_plain) == np.asarray(l_fused)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(c_plain), np.asarray(c_fused), atol=1e-3)
