@@ -194,3 +194,76 @@ def segment_tiled(
         out_specs=P(axis_name, None),
     )
     return jax.jit(fn)(rgb)
+
+
+def segment_tiled_batch(
+    rgb: jnp.ndarray,
+    cfg: PipelineConfig,
+    bank: GaborBank,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    space_axis: str = "space",
+) -> jnp.ndarray:
+    """BASELINE config 4 execution shape: (B, H, W, 3) large images on a 2-D
+    mesh — data-parallel over ``batch_axis``, each image's rows spatially
+    sharded over ``space_axis`` with halo exchange + psum'd clustering.
+
+    Per (batch-shard, space-shard) device: local strips of B/n_b images; the
+    per-image tiled pipeline vmaps over the local batch; ppermute/psum ride
+    the ``space`` submesh only (DP needs zero communication).
+    """
+    from jax import shard_map
+
+    from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
+    from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
+
+    b, h, w, _ = rgb.shape
+    n_b = mesh.shape[batch_axis]
+    n_s = mesh.shape[space_axis]
+    assert b % n_b == 0, f"B={b} must divide over {n_b} batch shards"
+    assert h % n_s == 0, f"H={h} must divide over {n_s} space shards"
+    halo = bank.max_halo
+    if halo >= h // n_s:
+        raise ValueError(
+            f"halo {halo} >= strip height {h // n_s}; reduce {space_axis!r}"
+        )
+
+    def per_image(rgb_strip):
+        color = _color_transform(rgb_strip, cfg.color_space)
+        colorh = _halo_exchange_rows(color, halo, space_axis)
+        energies = gabor_energies_mod(colorh[None], bank)[0][halo:-halo]
+        feats = jnp.concatenate([energies, color], axis=-1)
+        if cfg.cluster.normalize:
+            cnt = feats.shape[0] * feats.shape[1]
+            total = lax.psum(cnt, space_axis)
+            mean = lax.psum(jnp.sum(feats, axis=(0, 1)), space_axis) / total
+            var = (
+                lax.psum(jnp.sum((feats - mean) ** 2, axis=(0, 1)), space_axis)
+                / total
+            )
+            feats = (feats - mean) / (jnp.sqrt(var) + 1e-6)
+        e = energies.shape[-1]
+        cw = cfg.cluster.color_weight * float(np.sqrt(e / 3.0))
+        scale = jnp.concatenate(
+            [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
+        )
+        feats = feats * scale
+        rows = feats.shape[0]
+        labels, _ = kmeans_sharded(
+            feats.reshape(rows * w, -1),
+            cfg.cluster.k,
+            cfg.cluster.n_iter,
+            space_axis,
+        )
+        return labels.reshape(rows, w).astype(jnp.int32)
+
+    def local_fn(rgb_local):  # (B_loc, rows, W, 3)
+        return jax.vmap(per_image)(rgb_local)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=P(batch_axis, space_axis, None, None),
+        out_specs=P(batch_axis, space_axis, None),
+    )
+    return jax.jit(fn)(rgb)

@@ -58,3 +58,43 @@ def test_tiled_on_two_devices(mesh8):
     aligned = align_labels(tiled, np.asarray(untiled))
     agree = (aligned == np.asarray(untiled)).mean()
     assert agree > 0.999, f"2-device agreement {agree}"
+
+
+def test_2d_mesh_batch_space():
+    """config4 shape: DP over batch x spatial sharding, 4x2 fake mesh."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 fake devices")
+    from gabor_color_image_segmentation_tpu.parallel.tiling import segment_tiled_batch
+
+    mesh = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("batch", "space"))
+    cfg = _small_cfg()
+    bank = make_bank(cfg.bank)
+    imgs, gts = [], []
+    for i in range(4):
+        rgb, gt = synthetic_mosaic(h=96, w=64, n_regions=3, seed=30 + i)
+        imgs.append(rgb)
+        gts.append(gt)
+    batch = np.stack(imgs)
+
+    tiled = np.asarray(segment_tiled_batch(batch, cfg, bank, mesh))
+    assert tiled.shape == batch.shape[:3]
+    # distributed float-reduction order (psum'd moments/init) can flip the
+    # maximin argmax on near-tied candidates -> a different, equally valid
+    # k-means basin for an occasional image when k > true region count
+    # (SURVEY.md §7.4.1). The guarantee is: most images land in the SAME
+    # basin (pixel-exact), and every image matches the untiled run's QUALITY
+    # against ground truth.
+    from gabor_color_image_segmentation_tpu.metrics.pri import pri_np
+
+    exact = 0
+    for i in range(4):
+        untiled, _ = segment_image(batch[i], cfg, bank)
+        untiled = np.asarray(untiled)
+        aligned = align_labels(tiled[i], untiled)
+        if (aligned == untiled).mean() > 0.999:
+            exact += 1
+        pri_t = pri_np(tiled[i], [gts[i]])
+        pri_u = pri_np(untiled, [gts[i]])
+        assert pri_t > pri_u - 0.05, f"image {i}: tiled {pri_t} vs untiled {pri_u}"
+    assert exact >= 3, f"only {exact}/4 images in the same k-means basin"
