@@ -100,13 +100,25 @@ def main():
         " >=99.9%% label agreement vs golden); float32 is parity-grade"
         " (1.7e-6)",
     )
+    ap.add_argument(
+        "--subsample",
+        type=int,
+        default=1,
+        help="fit Lloyd on every n-th pixel, assign all (1 = exact semantics)",
+    )
     ap.add_argument("--measure-cpu", action="store_true")
     ap.add_argument("--cpu-images", type=int, default=1)
     args = ap.parse_args()
 
+    import dataclasses
+
     from gabor_color_image_segmentation_tpu.config import preset
 
     cfg = preset(args.preset).replace(dtype=args.dtype)
+    if args.subsample != 1:
+        cfg = cfg.replace(
+            cluster=dataclasses.replace(cfg.cluster, subsample=args.subsample)
+        )
     if args.batch:
         cfg = cfg.replace(batch_size=args.batch)
     batch = _build_batch(cfg, cfg.batch_size)

@@ -190,7 +190,10 @@ PRESETS: dict[str, PipelineConfig] = {
         cluster=ClusterConfig(method="kmeans", k=5),
         graph=GraphConfig(enabled=False),
         batch_size=1,
-        feature_impl="direct",  # CPU-runnable reference-shaped path
+        # "auto" stays CPU-runnable (falls back to the modulated XLA path off
+        # TPU) while using the fused Pallas kernel on-chip; the reference-
+        # shaped "direct" impl remains available via --feature-impl direct
+        feature_impl="auto",
     ),
     # 1: "Full Gabor bank (8 orientations x 5 scales x 2 frequencies) over
     #     CIELab channels, batch of 16 images"

@@ -20,15 +20,17 @@ from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-_DEFAULT_ROOTS = (
-    os.environ.get("BSDS500_ROOT", ""),
-    "/root/repo/data/BSDS500",
-    "/root/data/BSDS500",
-)
+def _default_roots():
+    # env read at call time (not import) so tests/sessions can repoint it
+    return (
+        os.environ.get("BSDS500_ROOT", ""),
+        "/root/repo/data/BSDS500",
+        "/root/data/BSDS500",
+    )
 
 
 def _find_root(root: Optional[str] = None) -> Optional[str]:
-    candidates = [root] if root else list(_DEFAULT_ROOTS)
+    candidates = [root] if root else list(_default_roots())
     for c in candidates:
         if c and os.path.isdir(os.path.join(c, "images")):
             return c

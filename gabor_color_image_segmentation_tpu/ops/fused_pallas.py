@@ -169,8 +169,8 @@ def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
 def _fused_group(
     img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype
 ) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H, W, C*n_g) energies for one scale group,
-    channel-major kernel-minor (same as features._group_energies)."""
+    """(B, H, W, C) -> (B, H, W, n_g*C) energies for one scale group in
+    contract order (kernel-major, channel-minor — features.py docstring)."""
     b, h, w, c = img.shape
     n = len(group.kernel_indices)
     p = group.ksize // 2
@@ -179,8 +179,10 @@ def _fused_group(
     hmid, wmid = h, w
     hp, wp = h + 2 * halo, w + 2 * halo
 
-    n_c = 1  # kernels per grid step (VMEM-bound; tuned for BSDS shapes)
-    assert n % n_c == 0
+    # kernels per grid step: more kernels amortize per-step overheads and
+    # overlap DMA with compute; VMEM peak stays modest since the conv-only
+    # halo shrank (smoothing borders live in the Toeplitz matrices now)
+    n_c = 2 if n % 2 == 0 else 1
     n_chunks = n // n_c
 
     mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32

@@ -70,3 +70,30 @@ def test_boundary_extraction():
     x = _halves(split=3)
     b = boundaries_np(x)
     assert b[:, 2].all() and not b[:, 0].any() and not b[:, 4].any()
+
+
+def test_tolerance_monotonicity():
+    """F never decreases as the matching tolerance grows (SURVEY.md §4.2)."""
+    rng = np.random.default_rng(1)
+    pred = (rng.random((40, 60)) < 0.5).astype(np.int32)
+    gt = (rng.random((40, 60)) < 0.5).astype(np.int32)
+    fs = [fboundary_np(pred, [gt], tol_frac=t)[2] for t in (0.001, 0.01, 0.05, 0.1)]
+    assert all(a <= b + 1e-12 for a, b in zip(fs, fs[1:])), fs
+
+
+def test_device_dt_exactness():
+    """The truncated distance transform is exact within its radius."""
+    from scipy.ndimage import distance_transform_edt
+
+    from gabor_color_image_segmentation_tpu.metrics.boundary import _truncated_sq_dt
+
+    rng = np.random.default_rng(2)
+    mask = rng.random((32, 48)) < 0.03
+    if not mask.any():
+        mask[10, 10] = True
+    r = 6
+    ours = np.asarray(_truncated_sq_dt(mask, r))
+    exact = distance_transform_edt(~mask) ** 2
+    inside = exact <= r * r
+    np.testing.assert_allclose(ours[inside], exact[inside], atol=1e-4)
+    assert (ours[~inside] >= r * r).all()
