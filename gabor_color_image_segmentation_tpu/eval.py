@@ -12,12 +12,15 @@ a batch abort (SURVEY.md §5.3).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from dataclasses import asdict
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+log = logging.getLogger("gaborseg.eval")
 
 from gabor_color_image_segmentation_tpu.config import PipelineConfig
 from gabor_color_image_segmentation_tpu.metrics.boundary import fboundary_np
@@ -77,7 +80,12 @@ def evaluate(
                 rgbs = np.stack([c[1] for c in chunk])
                 gts = [c[2] for c in chunk]
                 pixels += rgbs.shape[0] * rgbs.shape[1] * rgbs.shape[2]
+                t0 = time.perf_counter()
                 labels = np.asarray(segment_images(rgbs, cfg, bank))
+                log.info(
+                    "batch %s..%s: segment %.1f ms (%d images)",
+                    ids[0], ids[-1], (time.perf_counter() - t0) * 1e3, len(ids),
+                )
                 for i, image_id in enumerate(ids):
                     row = {"id": image_id}
                     try:

@@ -5,13 +5,20 @@ centroids in (L, a, b, y, x) space, ``iterate(n)`` rounds of local
 assignment + centroid update, compactness ``ruler`` balancing color vs
 spatial distance with the cell size s as the spatial normalizer.
 
-TPU formulation: instead of each centroid scanning a 2s x 2s window
-(scatter-heavy), each PIXEL tests the 9 centroids of its 3x3 neighboring
-grid cells (gather-friendly, fixed fan-in, fully vectorized):
+TPU formulation: the classic "each centroid scans a 2s x 2s window" is
+scatter-heavy, and the gather-based "each pixel tests its 9 neighbor-cell
+centroids" turns out gather-bound on TPU (measured 674 ms/batch-8). The
+production assignment is instead a MASKED DENSE score matmul on the MXU:
 
-    d^2 = d_lab^2 + (ruler / s)^2 * d_xy^2     (SLIC distance)
+    z = [L, a, b, sqrt(w) y, sqrt(w) x]         (w = (ruler/s)^2)
+    scores = ||c||^2 - 2 z @ C^T                (one (N, S) MXU matmul)
+    scores = +inf outside the pixel's 3x3 neighbor cells (fused mask from
+             iota arithmetic — the same candidate set as classic SLIC)
+    label  = argmin_s scores                    (ties -> lowest cell id)
 
-The update step is a segment-sum scatter-mean (XLA-native). Labels are flat
+which is argmin-identical to the 9-candidate rule (the mask admits exactly
+those centroids; the dropped per-pixel ||z||^2 is constant across s). The
+update step is a segment-sum scatter-mean (XLA-native). Labels are flat
 grid-cell ids in [0, gh*gw). Connectivity enforcement — inherently
 sequential flood fill in the reference (slic.hpp enforceLabelConnectivity) —
 ships as a host post-pass (``enforce_connectivity``), applied outside jit;
@@ -77,21 +84,27 @@ def slic(
     cell_y = jnp.clip((yb * (gh / h)).astype(jnp.int32), 0, gh - 1)
     cell_x = jnp.clip((xb * (gw / w)).astype(jnp.int32), 0, gw - 1)
 
-    # 3x3 neighbor cell ids per pixel, clipped at borders: (H, W, 9)
-    offs = jnp.asarray([(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
-    ny = jnp.clip(cell_y[..., None] + offs[:, 0], 0, gh - 1)
-    nx = jnp.clip(cell_x[..., None] + offs[:, 1], 0, gw - 1)
-    cand = (ny * gw + nx).reshape(-1, 9)  # (H*W, 9) flat candidate ids
-
     spatial_w = (ruler / s) ** 2
+    sw = float(np.sqrt(spatial_w)) if spatial_w > 0 else 0.0
+
+    # spatially-weighted pixel features for the dense score matmul
+    z = jnp.concatenate([flat[:, :3], sw * flat[:, 3:]], axis=1)  # (N, 5)
+    # per-centroid grid coordinates (static)
+    gy = jnp.arange(n_sp, dtype=jnp.int32) // gw  # (S,)
+    gx = jnp.arange(n_sp, dtype=jnp.int32) % gw
+    py = cell_y.reshape(-1, 1)  # (N, 1)
+    px = cell_x.reshape(-1, 1)
+    # 3x3 neighbor-cell mask, identical candidate set to classic SLIC
+    neighbor = (jnp.abs(gy[None, :] - py) <= 1) & (jnp.abs(gx[None, :] - px) <= 1)
+    big = jnp.float32(3.4e38)
 
     def assign(centroids):
-        c = centroids[cand]  # (H*W, 9, 5)
-        d_col = jnp.sum((c[..., :3] - flat[:, None, :3]) ** 2, -1)
-        d_xy = jnp.sum((c[..., 3:] - flat[:, None, 3:]) ** 2, -1)
-        d = d_col + spatial_w * d_xy
-        best = jnp.argmin(d, axis=-1)  # (H*W,)
-        return jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        cs = jnp.concatenate([centroids[:, :3], sw * centroids[:, 3:]], axis=1)
+        scores = jnp.sum(cs * cs, axis=1) - 2.0 * jnp.dot(
+            z, cs.T, preferred_element_type=jnp.float32
+        )  # (N, S) — one MXU matmul; ||z||^2 constant across s, dropped
+        scores = jnp.where(neighbor, scores, big)
+        return jnp.argmin(scores, axis=1)
 
     def body(_, centroids):
         labels = assign(centroids)
