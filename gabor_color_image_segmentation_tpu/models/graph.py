@@ -37,11 +37,15 @@ from gabor_color_image_segmentation_tpu.models.slic import slic
 def superpixel_means(
     features: jnp.ndarray, labels: jnp.ndarray, n_sp: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, D) features + (N,) labels -> ((S, D) means, (S,) counts)."""
-    sums = jax.ops.segment_sum(features, labels, num_segments=n_sp)
-    cnts = jax.ops.segment_sum(
-        jnp.ones(labels.shape, jnp.float32), labels, num_segments=n_sp
+    """(N, D) features + (N,) labels -> ((S, D) means, (S,) counts).
+
+    Scatter-mean as a one-hot matmul: (S, N) @ (N, D) on the MXU (TPU
+    scatters lower to sort-based updates, orders of magnitude slower)."""
+    onehot = jax.nn.one_hot(labels, n_sp, dtype=jnp.float32)  # (N, S)
+    sums = jnp.dot(
+        onehot.T, features.astype(jnp.float32), preferred_element_type=jnp.float32
     )
+    cnts = jnp.sum(onehot, axis=0)
     return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
 
 

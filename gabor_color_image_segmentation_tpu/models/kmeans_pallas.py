@@ -108,7 +108,9 @@ def kmeans_fused(
     x: (N, D) -> (labels (N,) int32, centers (k, D) f32).
     """
     n, d = x.shape
-    block = 2048
+    # large blocks: the first attempt used 2048 (76 grid steps/image) and
+    # drowned in per-step overhead; 16384 keeps the X block ~8 MB in VMEM
+    block = 16384
     x_mm = x.astype(dtype)
     n_pad = -(-n // block) * block
     if n_pad != n:

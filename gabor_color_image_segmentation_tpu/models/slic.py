@@ -108,10 +108,11 @@ def slic(
 
     def body(_, centroids):
         labels = assign(centroids)
-        sums = jax.ops.segment_sum(flat, labels, num_segments=n_sp)
-        cnts = jax.ops.segment_sum(
-            jnp.ones((flat.shape[0],), jnp.float32), labels, num_segments=n_sp
-        )
+        # one-hot matmul instead of segment_sum: TPU scatters lower to
+        # sort-based updates; (S, N) @ (N, 5) rides the MXU instead
+        onehot = jax.nn.one_hot(labels, n_sp, dtype=jnp.float32)  # (N, S)
+        sums = jnp.dot(onehot.T, flat, preferred_element_type=jnp.float32)
+        cnts = jnp.sum(onehot, axis=0)
         new = sums / jnp.maximum(cnts, 1.0)[:, None]
         return jnp.where(cnts[:, None] > 0, new, centroids)
 
