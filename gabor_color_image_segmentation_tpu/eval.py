@@ -15,7 +15,6 @@ import json
 import logging
 import os
 import time
-from dataclasses import asdict
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -20,7 +20,6 @@ from gabor_color_image_segmentation_tpu.ops.features import (
     assemble_features,
     gabor_energies,
 )
-from gabor_color_image_segmentation_tpu.models.kmeans import kmeans
 
 
 def _color_transform(rgb: jnp.ndarray, color_space: str) -> jnp.ndarray:

@@ -29,7 +29,6 @@ choice of this framework, applied identically in golden and TPU paths.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 from dataclasses import dataclass

@@ -32,7 +32,6 @@ this same kernel tile-by-tile.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,9 +25,7 @@ fused Pallas kernel (identical math, tested against each other and golden).
 from __future__ import annotations
 
 import math
-from typing import List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -70,20 +68,6 @@ def group_frequencies(group: ScaleGroup, bank: GaborBank) -> np.ndarray:
         w = 2.0 * math.pi / lam
         out.append((w * math.cos(theta), w * math.sin(theta)))
     return np.asarray(out)
-
-
-def group_dc_means(group: ScaleGroup) -> np.ndarray:
-    """mu_j = mean(Re K_j) values that the bank subtracted (DC correction).
-
-    filters_hwio already stores DC-corrected real parts, so recover mu from
-    the uncorrected envelope x carrier product: mu = mean over the window of
-    envelope*cos(phase). Equivalently: since corrected real part has zero
-    mean, mu is the mean of the ORIGINAL real part; reconstruct it from the
-    stored imag part is impossible, so recompute from params instead.
-    """
-    # recomputed in make-bank order by the caller via gabor_kernel; kept here
-    # for interface symmetry (see modulated_group_energies).
-    raise NotImplementedError
 
 
 def _dc_mu(group: ScaleGroup, bank: GaborBank) -> np.ndarray:

@@ -26,17 +26,15 @@ fake 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gabor_color_image_segmentation_tpu.config import PipelineConfig
-from gabor_color_image_segmentation_tpu.models.kmeans import maximin_init
 from gabor_color_image_segmentation_tpu.ops.bank import GaborBank
 
 
@@ -142,7 +140,6 @@ def segment_tiled(
     from jax import shard_map
 
     from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
-    from gabor_color_image_segmentation_tpu.ops.features import assemble_features
     from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
 
     h, w, _ = rgb.shape

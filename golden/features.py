@@ -8,7 +8,6 @@ optional per-image standardization with color_weight scaling.
 
 from __future__ import annotations
 
-import math
 
 import cv2
 import numpy as np

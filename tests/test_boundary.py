@@ -1,7 +1,6 @@
 """Boundary-F metric: protocol properties + host/device agreement."""
 
 import numpy as np
-import pytest
 
 from gabor_color_image_segmentation_tpu.metrics.boundary import (
     boundaries_np,

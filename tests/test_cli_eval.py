@@ -4,7 +4,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from gabor_color_image_segmentation_tpu.cli import main as cli_main
 from gabor_color_image_segmentation_tpu.eval import evaluate, load_split

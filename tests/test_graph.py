@@ -1,9 +1,7 @@
 """Affinity graph + spectral n-cut + min-cut (SURVEY.md C11-C13)."""
 
 import numpy as np
-import pytest
 
-from gabor_color_image_segmentation_tpu.config import preset
 from gabor_color_image_segmentation_tpu.metrics.pri import pri_np
 from gabor_color_image_segmentation_tpu.models.graph import (
     affinity_matrix,

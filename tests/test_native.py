@@ -1,7 +1,6 @@
 """C++ native boundary matcher: builds, loads, matches the Python fallback."""
 
 import numpy as np
-import pytest
 
 from gabor_color_image_segmentation_tpu.utils import native
 

@@ -7,7 +7,6 @@ import pytest
 from gabor_color_image_segmentation_tpu.config import preset
 from gabor_color_image_segmentation_tpu.metrics.pri import pri_np
 from gabor_color_image_segmentation_tpu.models.pipeline import segment_image
-from gabor_color_image_segmentation_tpu.ops.bank import make_bank
 from gabor_color_image_segmentation_tpu.utils.labels import align_labels
 from golden.cluster import kmeans_golden
 from golden.features import features_golden
