@@ -112,6 +112,12 @@ class ClusterConfig:
     k: int = 5
     n_iter: int = 25  # Lloyd iterations / EM iterations
     subsample: int = 1  # fit Lloyd on every n-th pixel (1 = exact; speed knob)
+    # maximin init seeds from every n-th pixel; the golden path mirrors the
+    # identical subset, so parity is exact at any value. The farthest-point
+    # scan costs ~k full passes over the pixels (~15 ms/batch-16 at D=243),
+    # but a strided seed can land k-means in a different basin (measured a
+    # real PRI regression on a small mosaic), so the default stays exact.
+    init_stride: int = 1
     color_weight: float = 1.0  # relative weight of Lab dims vs energy dims
     normalize: bool = True  # per-image feature standardization
     gmm_reg_covar: float = 1e-4

@@ -25,9 +25,16 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def maximin_init(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """x: (N, D) -> (k, D) deterministic farthest-point centers."""
+def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
+    """x: (N, D) -> (k, D) deterministic farthest-point centers.
+
+    ``stride`` seeds from every stride-th row only — the farthest-point
+    scan is k sequential full passes over x, which at BSDS scale costs as
+    much as several Lloyd iterations; a strided subset keeps determinism
+    (golden mirrors the identical subset) at ~1/stride the cost."""
     x = jnp.asarray(x)  # fori_loop body indexes x with a traced index
+    if stride > 1:
+        x = x[::stride]
     n, d = x.shape
     mean = jnp.mean(x, axis=0)
     d0 = jnp.sum((x - mean) ** 2, axis=1)
@@ -61,20 +68,21 @@ def _assign_scores(x: jnp.ndarray, centers: jnp.ndarray, dtype) -> jnp.ndarray:
     return c_sq - 2.0 * cross
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def kmeans(
-    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32
+    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32, init_stride: int = 1
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd k-means. x: (N, D) float -> (labels (N,) int32, centers (k, D)).
 
     vmap over a leading batch axis for per-image clustering of a batch.
     dtype=bfloat16 halves the Lloyd-loop HBM traffic (the dominant cost at
     D ~ 243); labels may differ from the fp32 path on borderline pixels.
+    init_stride seeds maximin from a strided subset (golden mirrors it).
     """
     # keep x in the matmul dtype throughout — upcasting a bf16 feature tensor
     # to f32 here would double the Lloyd loop's HBM traffic
     x_mm = x.astype(dtype)
-    centers0 = maximin_init(x_mm, k).astype(jnp.float32)
+    centers0 = maximin_init(x_mm, k, init_stride).astype(jnp.float32)
 
     def body(_, centers):
         labels = jnp.argmin(_assign_scores(x_mm, centers, dtype), axis=1)
@@ -91,9 +99,14 @@ def kmeans(
     return labels, centers
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def kmeans_fit_assign(
-    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32, subsample: int = 1
+    x: jnp.ndarray,
+    k: int,
+    n_iter: int = 25,
+    dtype=jnp.float32,
+    subsample: int = 1,
+    init_stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd on every ``subsample``-th pixel, final assignment on all pixels.
 
@@ -102,8 +115,8 @@ def kmeans_fit_assign(
     centers fitted on a strided pixel subset — a documented speed/parity
     trade-off (OFF by default in every preset)."""
     if subsample == 1:
-        return kmeans(x, k, n_iter, dtype)
-    _, centers = kmeans(x[::subsample], k, n_iter, dtype)
+        return kmeans(x, k, n_iter, dtype, init_stride)
+    _, centers = kmeans(x[::subsample], k, n_iter, dtype, init_stride)
     labels = jnp.argmin(
         _assign_scores(x.astype(dtype), centers, dtype), axis=1
     ).astype(jnp.int32)

@@ -13,11 +13,12 @@ math (same assignment scores c_sq - 2 x.c, same tie-break, f32 accumulation),
 so it inherits the golden-parity contract.
 
 STATUS (measured 2026-08-16, v5 lite, batch 16 x (154401, 243), 25 iters):
-fused 288 ms vs plain-XLA bf16 113 ms — the k=5-wide matmuls waste the MXU
-(lane padding to 128) and per-block overheads dominate the saved pass, so
-the plain XLA solver remains the production default. Kept as the starting
-point for a revisit with k-padded batched blocks; the interpret-mode parity
-test (tests/test_kmeans.py) pins its semantics.
+fused 280-303 ms vs plain-XLA bf16 113 ms at BOTH block=2048 and block=8192
+— not per-step overhead: the same-output-block accumulation serializes the
+grid (no DMA/compute pipelining across steps), and the k=5-wide matmuls
+waste MXU lanes. The plain XLA solver remains the production default; a
+revisit needs per-block partial outputs reduced afterwards. The
+interpret-mode parity test (tests/test_kmeans.py) pins the semantics.
 """
 
 from __future__ import annotations
@@ -93,6 +94,9 @@ def _lloyd_step(x, centers, k: int, block: int, n_rows: int):
             jax.ShapeDtypeStruct((k, d), jnp.float32),
             jax.ShapeDtypeStruct((1, k), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=jax.default_backend() != "tpu",
     )(x, centers)
     return sums, counts[0]
@@ -108,8 +112,9 @@ def kmeans_fused(
     """
     n, d = x.shape
     # large blocks: the first attempt used 2048 (76 grid steps/image) and
-    # drowned in per-step overhead; 16384 keeps the X block ~8 MB in VMEM
-    block = 16384
+    # drowned in per-step overhead; 8192 keeps the double-buffered X block
+    # within the (raised) scoped-VMEM budget in both dtypes
+    block = 8192
     x_mm = x.astype(dtype)
     n_pad = -(-n // block) * block
     if n_pad != n:

@@ -86,7 +86,12 @@ def segment_batch(
         from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_fit_assign
 
         cluster = lambda f: kmeans_fit_assign(
-            f, cfg.cluster.k, cfg.cluster.n_iter, kmeans_dtype, cfg.cluster.subsample
+            f,
+            cfg.cluster.k,
+            cfg.cluster.n_iter,
+            kmeans_dtype,
+            cfg.cluster.subsample,
+            cfg.cluster.init_stride,
         )[0]
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict

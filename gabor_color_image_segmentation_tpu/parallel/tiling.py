@@ -99,12 +99,16 @@ def _global_maximin(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
 
 
 def kmeans_sharded(
-    x: jnp.ndarray, k: int, n_iter: int, axis_name: str
+    x: jnp.ndarray, k: int, n_iter: int, axis_name: str, init_stride: int = 1
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed Lloyd over row-sharded pixels. x: (N_local, D) ->
-    (labels (N_local,) int32, centers (k, D) replicated)."""
+    (labels (N_local,) int32, centers (k, D) replicated).
+
+    init_stride strides each LOCAL shard; when the local pixel count divides
+    by the stride this is exactly the untiled path's global strided subset,
+    keeping tiled-vs-untiled init identical."""
     x = x.astype(jnp.float32)
-    centers0 = _global_maximin(x, k, axis_name)
+    centers0 = _global_maximin(x[::init_stride], k, axis_name)
 
     def assign(centers):
         scores = jnp.sum(centers * centers, axis=1) - 2.0 * jnp.dot(
@@ -180,7 +184,11 @@ def segment_tiled(
 
         rows = feats.shape[0]
         labels, _ = kmeans_sharded(
-            feats.reshape(rows * w, -1), cfg.cluster.k, cfg.cluster.n_iter, axis_name
+            feats.reshape(rows * w, -1),
+            cfg.cluster.k,
+            cfg.cluster.n_iter,
+            axis_name,
+            cfg.cluster.init_stride,
         )
         return labels.reshape(rows, w).astype(jnp.int32)
 
@@ -251,6 +259,7 @@ def segment_tiled_batch(
             cfg.cluster.k,
             cfg.cluster.n_iter,
             space_axis,
+            cfg.cluster.init_stride,
         )
         return labels.reshape(rows, w).astype(jnp.int32)
 

@@ -28,16 +28,17 @@ def maximin_init_np(x: np.ndarray, k: int) -> np.ndarray:
 
 
 def kmeans_golden(
-    x: np.ndarray, k: int, n_iter: int = 25
+    x: np.ndarray, k: int, n_iter: int = 25, init_stride: int = 1
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd iterations from maximin init. x: (N,D) -> (labels (N,), centers (k,D)).
 
     Empty-cluster rule (shared contract): an empty cluster keeps its previous
     center. Distance = squared euclidean; label ties -> lowest center index
-    (np.argmin behaviour, matches jnp.argmin).
+    (np.argmin behaviour, matches jnp.argmin). init_stride seeds maximin from
+    every n-th row — the identical subset the TPU path uses.
     """
     x = x.astype(np.float32)
-    centers = maximin_init_np(x, k).astype(np.float32)
+    centers = maximin_init_np(x[::init_stride], k).astype(np.float32)
     labels = np.zeros(x.shape[0], dtype=np.int32)
     # assignment scores drop the per-pixel ||x||^2 (constant across centers)
     # — identical reduction to models/kmeans.py for label parity

@@ -49,7 +49,10 @@ def test_config0_matches_golden(small_mosaic, cfg):
     gold_feats = features_golden(rgb, cfg.bank, cfg.cluster)
     h, w, d = gold_feats.shape
     gold_labels, _ = kmeans_golden(
-        gold_feats.reshape(-1, d), cfg.cluster.k, cfg.cluster.n_iter
+        gold_feats.reshape(-1, d),
+        cfg.cluster.k,
+        cfg.cluster.n_iter,
+        cfg.cluster.init_stride,
     )
     gold_labels = gold_labels.reshape(h, w)
 
