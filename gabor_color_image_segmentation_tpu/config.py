@@ -140,6 +140,7 @@ class GraphConfig:
     cut: str = "ncut"  # "ncut" | "mincut"
     n_regions: int = 5  # final region count for ncut
     affinity_sigma: Optional[float] = None  # None => median-heuristic
+    eig_method: str = "eigh"  # "eigh" (exact) | "subspace" (matmul-only top-k)
     adjacency_only: bool = False  # restrict affinity to adjacent superpixels
     mincut_k: float = 300.0  # Felzenszwalb-style merge threshold
     mincut_min_size: int = 10  # minimum region size (in superpixels)

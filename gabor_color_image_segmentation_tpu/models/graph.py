@@ -75,14 +75,55 @@ def affinity_matrix(
     return w
 
 
-def spectral_labels(w: jnp.ndarray, n_regions: int, n_iter: int = 30) -> jnp.ndarray:
+def smallest_eigvecs_subspace(
+    l_sym: jnp.ndarray, k: int, n_iter: int = 80, oversample: int = 4
+) -> jnp.ndarray:
+    """k eigenvectors of the smallest eigenvalues via subspace (orthogonal)
+    iteration — the matmul-only eigensolver (BASELINE north_star names the
+    Lanczos/matmul route for larger S where dense eigh stops paying off).
+
+    Iterates Q <- qr((2I - L) Q): L_sym's spectrum lies in [0, 2], so 2I - L
+    flips it and power iterations converge to the SMALLEST eigenvalues of L.
+    Deterministic start (no PRNG): first k+q columns of a DCT-like cosine
+    basis. Returns (S, k).
+    """
+    s = l_sym.shape[0]
+    m = min(s, k + oversample)
+    # deterministic, well-conditioned start: cosine basis columns
+    i = jnp.arange(s, dtype=jnp.float32).reshape(-1, 1)
+    j = jnp.arange(m, dtype=jnp.float32).reshape(1, -1)
+    q0 = jnp.cos(jnp.pi * (i + 0.5) * j / s)
+    q0, _ = jnp.linalg.qr(q0)
+    b = 2.0 * jnp.eye(s, dtype=l_sym.dtype) - l_sym
+
+    def body(_, q):
+        q, _ = jnp.linalg.qr(
+            jnp.dot(b, q, preferred_element_type=jnp.float32)
+        )
+        return q
+
+    q = jax.lax.fori_loop(0, n_iter, body, q0)
+    # Rayleigh-Ritz: diagonalize the small projected matrix for clean vectors
+    t = q.T @ l_sym @ q  # (m, m)
+    evals, v = jnp.linalg.eigh(t)
+    return (q @ v)[:, :k]
+
+
+def spectral_labels(
+    w: jnp.ndarray, n_regions: int, n_iter: int = 30, eig_method: str = "eigh"
+) -> jnp.ndarray:
     """(S, S) affinity -> (S,) region labels via normalized-cut embedding."""
     s = w.shape[0]
     deg = jnp.sum(w, axis=1)
     d_isqrt = 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-12))
     l_sym = jnp.eye(s) - d_isqrt[:, None] * w * d_isqrt[None, :]
-    evals, evecs = jnp.linalg.eigh(l_sym)  # ascending
-    emb = evecs[:, :n_regions]  # k smallest — the n-cut embedding
+    if eig_method == "eigh":
+        evals, evecs = jnp.linalg.eigh(l_sym)  # ascending
+        emb = evecs[:, :n_regions]  # k smallest — the n-cut embedding
+    elif eig_method == "subspace":
+        emb = smallest_eigvecs_subspace(l_sym, n_regions)
+    else:
+        raise ValueError(eig_method)
     # Ng-Jordan-Weiss row normalization
     norm = jnp.sqrt(jnp.maximum(jnp.sum(emb * emb, axis=1, keepdims=True), 1e-12))
     emb = emb / norm
@@ -98,6 +139,7 @@ def ncut_segment(
     ruler: float = 10.0,
     slic_iters: int = 10,
     affinity_sigma: float | None = None,
+    eig_method: str = "eigh",
 ) -> jnp.ndarray:
     """Single image: (H,W,D) features + (H,W,3) Lab -> (H,W) int32 regions."""
     h, w, d = features.shape
@@ -109,7 +151,7 @@ def ncut_segment(
     flat_sp = sp.reshape(-1)
     f, cnts = superpixel_means(features.reshape(-1, d), flat_sp, n_sp)
     aff = affinity_matrix(f, affinity_sigma, cnts)
-    regions = spectral_labels(aff, n_regions)  # (S,)
+    regions = spectral_labels(aff, n_regions, eig_method=eig_method)  # (S,)
     return regions[flat_sp].reshape(h, w).astype(jnp.int32)
 
 
@@ -128,6 +170,7 @@ def graph_segment_batch(
             g.slic_compactness,
             g.slic_iters,
             g.affinity_sigma,
+            g.eig_method,
         )
         return jax.vmap(fn)(features, lab)
     raise ValueError(

@@ -110,3 +110,33 @@ def test_mincut_merges_mosaic(small_mosaic):
     assert 2 <= n_regions <= 20, n_regions
     pri = pri_np(labels, [gt])
     assert pri > 0.8, f"mincut PRI {pri}"
+
+
+def test_subspace_eigensolver_matches_eigh(rng):
+    """Matmul-only top-k eigensolver spans the same n-cut embedding."""
+    from sklearn.metrics import adjusted_rand_score
+
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        smallest_eigvecs_subspace,
+    )
+
+    f = np.concatenate(
+        [rng.normal(i * 3, 0.15, (25, 4)) for i in range(3)]
+    ).astype(np.float32)
+    w = np.asarray(affinity_matrix(f, sigma=0.6))
+    # label-level agreement between the two eigensolvers
+    a = np.asarray(spectral_labels(w, 3, eig_method="eigh"))
+    b = np.asarray(spectral_labels(w, 3, eig_method="subspace"))
+    assert adjusted_rand_score(a, b) > 0.95
+
+    # subspace-level agreement: principal angles ~ 0
+    import jax.numpy as jnp
+
+    deg = w.sum(1)
+    dis = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    lsym = np.eye(len(w)) - dis[:, None] * w * dis[None, :]
+    evals, evecs = np.linalg.eigh(lsym)
+    exact = evecs[:, :3]
+    approx = np.asarray(smallest_eigvecs_subspace(jnp.asarray(lsym, jnp.float32), 3))
+    sv = np.linalg.svd(exact.T @ approx, compute_uv=False)
+    assert sv.min() > 0.99, sv  # cos(principal angles) ~ 1
