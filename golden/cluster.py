@@ -14,16 +14,24 @@ import numpy as np
 
 
 def maximin_init_np(x: np.ndarray, k: int) -> np.ndarray:
-    """x: (N, D) -> (k, D) deterministic farthest-point centers."""
+    """x: (N, D) -> (k, D) deterministic farthest-point centers.
+
+    Distance form mirrors models/kmeans.py maximin_init exactly:
+    ||x||^2 - 2 x@c + ||c||^2 (matvec form), so golden and TPU paths make
+    identical seed picks up to dtype rounding."""
+    xsq = (x * x).sum(axis=1)
+
+    def dist_to(c):
+        return xsq - 2.0 * (x @ c) + (c * c).sum()
+
     mean = x.mean(axis=0)
-    d = ((x - mean) ** 2).sum(axis=1)
-    idx = int(np.argmax(d))
+    idx = int(np.argmax(dist_to(mean)))
     centers = [x[idx]]
-    dmin = ((x - x[idx]) ** 2).sum(axis=1)
+    dmin = dist_to(x[idx])
     for _ in range(k - 1):
         idx = int(np.argmax(dmin))
         centers.append(x[idx])
-        dmin = np.minimum(dmin, ((x - x[idx]) ** 2).sum(axis=1))
+        dmin = np.minimum(dmin, dist_to(x[idx]))
     return np.stack(centers).astype(x.dtype)
 
 
@@ -60,11 +68,14 @@ def gmm_golden(
     k: int,
     n_iter: int = 30,
     reg_covar: float = 1e-4,
+    tol: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Full-covariance GMM EM with k-means (maximin) init; sklearn semantics
     (_gaussian_mixture.py: estimate params / precision cholesky / log prob).
 
-    Returns (labels (N,), resp (N,k), params dict).
+    tol > 0 mirrors models/gmm.py (and sklearn GaussianMixture.tol): stop
+    when the mean log-likelihood improves by less than tol between EM
+    iterations. Returns (labels (N,), resp (N,k), params dict).
     """
     x = x.astype(np.float64)
     n, d = x.shape
@@ -73,10 +84,14 @@ def gmm_golden(
     resp = np.zeros((n, k))
     resp[np.arange(n), labels] = 1.0
     weights, means, covs = _m_step(x, resp, reg_covar)
+    prev_ll = -np.inf
     for _ in range(n_iter):
-        log_resp = _e_step(x, weights, means, covs)
+        log_resp, ll = _e_step_ll(x, weights, means, covs)
         resp = np.exp(log_resp)
         weights, means, covs = _m_step(x, resp, reg_covar)
+        if tol > 0.0 and abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
     log_resp = _e_step(x, weights, means, covs)
     labels = np.argmax(log_resp, axis=1).astype(np.int32)
     return labels, np.exp(log_resp), {"weights": weights, "means": means, "covs": covs}
@@ -93,6 +108,24 @@ def _m_step(x, resp, reg_covar):
         covs[j] = (resp[:, j][:, None] * diff).T @ diff / nk[j]
         covs[j].flat[:: d + 1] += reg_covar
     return nk / n, means, covs
+
+
+def _e_step_ll(x, weights, means, covs):
+    """(log responsibilities, mean log-likelihood) — the EM convergence
+    statistic is the mean of the log-sum-exp normalizer (sklearn's
+    lower_bound_), mirrored in models/gmm.py::_e_step."""
+    n, d = x.shape
+    k = means.shape[0]
+    log_prob = np.empty((n, k))
+    for j in range(k):
+        chol = np.linalg.cholesky(covs[j])
+        y = np.linalg.solve(chol, (x - means[j]).T)
+        maha = (y**2).sum(axis=0)
+        log_det = np.log(np.diag(chol)).sum()
+        log_prob[:, j] = -0.5 * (d * np.log(2 * np.pi) + maha) - log_det
+    weighted = log_prob + np.log(weights)
+    norm = _logsumexp(weighted)
+    return weighted - norm[:, None], norm.mean()
 
 
 def _e_step(x, weights, means, covs):

@@ -75,3 +75,24 @@ def test_subsampled_close_to_exact(rng):
     fast = np.asarray(gmm_predict(x, 3, 20, subsample=4))
     aligned = align_labels(fast, exact)
     assert (aligned == exact).mean() > 0.98
+
+
+def test_tol_early_exit_matches_golden(rng):
+    """sklearn-style tol early exit: TPU path and golden stop by the same
+    rule and agree on labels (f32 vs f64 may differ by an iteration near
+    convergence — responsibilities there are already stable)."""
+    x, _ = _blobs(rng)
+    ours, resp, _ = gmm_fit(x, 3, n_iter=30, tol=1e-3)
+    gold, gresp, _ = gmm_golden(x, 3, n_iter=30, tol=1e-3)
+    agree = (np.asarray(ours) == gold).mean()
+    assert agree > 0.99, f"label agreement {agree}"
+    np.testing.assert_allclose(np.asarray(resp), gresp, atol=6e-2)
+
+
+def test_tol_zero_is_fixed_count(rng):
+    """tol=0 is bit-identical to the fixed-iteration contract."""
+    x, _ = _blobs(rng, n=800, k=3, d=5)
+    a, ra, _ = gmm_fit(x, 3, n_iter=12)
+    b, rb, _ = gmm_fit(x, 3, n_iter=12, tol=0.0)
+    assert (np.asarray(a) == np.asarray(b)).all()
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))

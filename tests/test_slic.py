@@ -60,3 +60,72 @@ def test_enforce_connectivity():
         cc, n = ndimage.label(out == v)
         assert n == 1, f"label {v} split into {n} components"
     assert (out[0:2, 0:2] == out[3, 3]).all()  # fragment absorbed into region 0
+
+
+def test_fused_banded_matches_plain(small_mosaic):
+    """Interpret-mode banded Pallas SLIC vs plain XLA SLIC.
+
+    The kernel's scores are bf16x3 (two-bf16 operand split, ~2^-16 relative
+    — Mosaic supports neither HIGH nor f32 dot algorithms), so pixels that
+    are near-equidistant between two superpixels may flip; everything else
+    is identical. Per-pixel agreement lands ~0.995; the downstream
+    region-level test below is the functional gate."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.slic_pallas import (
+        slic_fused,
+        slic_fused_eligible,
+    )
+
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    h, w = lab.shape[:2]
+    assert slic_fused_eligible(h, w, 64)
+    plain = np.asarray(slic(lab, 64, 10.0, 5))
+    fused = np.asarray(slic_fused(jnp.asarray(lab)[None], 64, 10.0, 5))[0]
+    agree = (plain == fused).mean()
+    assert agree > 0.99, f"fused SLIC agreement {agree}"
+
+
+def test_fused_banded_downstream_regions(small_mosaic):
+    """Boundary-pixel flips from the fused kernel must not move the final
+    n-cut regions: superpixel means average ~hundreds of pixels."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        ncut_from_superpixels,
+    )
+    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+    from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_fused
+
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    h, w = lab.shape[:2]
+    feats = jnp.asarray(lab, jnp.float32)  # color features suffice here
+    gh, gw, _ = grid_shape(h, w, 64)
+    plain_sp = slic(lab, 64, 10.0, 5)
+    fused_sp = slic_fused(jnp.asarray(lab)[None], 64, 10.0, 5)[0]
+    a = np.asarray(ncut_from_superpixels(feats, plain_sp, gh * gw, 4, None, "eigh"))
+    b = np.asarray(ncut_from_superpixels(feats, fused_sp, gh * gw, 4, None, "eigh"))
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    aligned = align_labels(b.reshape(-1), a.reshape(-1)).reshape(a.shape)
+    agree = (aligned == a).mean()
+    assert agree > 0.995, f"downstream region agreement {agree}"
+
+
+def test_fused_banded_batched(tiny_mosaic, small_mosaic):
+    """Batched fused SLIC matches per-image XLA SLIC on each image."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_fused
+
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    batch = np.stack([lab, lab[:, ::-1]])
+    fused = np.asarray(slic_fused(jnp.asarray(batch), 48, 10.0, 4))
+    for i in range(2):
+        plain = np.asarray(slic(batch[i], 48, 10.0, 4))
+        agree = (plain == fused[i]).mean()
+        # bf16x3 scores: boundary-equidistant pixels may flip (see above)
+        assert agree > 0.99, f"image {i} agreement {agree}"
