@@ -1,0 +1,76 @@
+"""Round validation on the real TPU: verify-drive + parity agreement.
+
+1. config0/config3 pipeline drive (segment_image, PRI sanity)
+2. TPU-vs-golden end-to-end label agreement, config0 fp32 + bf16, config3
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/exp_round_validation.py
+"""
+
+import numpy as np
+
+import gabor_color_image_segmentation_tpu as gcis
+from gabor_color_image_segmentation_tpu.data import synthetic_mosaic
+from gabor_color_image_segmentation_tpu.metrics import pri_np
+from gabor_color_image_segmentation_tpu.models.pipeline import segment_image
+from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+
+def agreement(ours, gold):
+    a = align_labels(np.asarray(ours).reshape(-1), gold.reshape(-1))
+    return (a == gold.reshape(-1)).mean()
+
+
+def main():
+    import jax
+
+    print("backend:", jax.default_backend(), flush=True)
+    rgb, gt = synthetic_mosaic(h=321, w=481, n_regions=5, seed=11)
+
+    # --- drive: config0 fp32 + bf16 ---
+    for dt in ("float32", "bfloat16"):
+        cfg = gcis.preset("config0").replace(dtype=dt)
+        labels, _ = segment_image(rgb, cfg)
+        l_np = np.asarray(labels)
+        print(f"config0 {dt}: ids {np.unique(l_np)} PRI {pri_np(l_np, [gt]):.4f}",
+              flush=True)
+
+    # --- golden comparison, config0 ---
+    from golden.cluster import kmeans_golden
+    from golden.features import features_golden
+
+    cfg = gcis.preset("config0")
+    feats_g = features_golden(rgb, cfg.bank, cfg.cluster)
+    h, w, d = feats_g.shape
+    gold, _ = kmeans_golden(feats_g.reshape(-1, d), 5, cfg.cluster.n_iter)
+    gold = gold.reshape(h, w)
+    for dt in ("float32", "bfloat16"):
+        labels, _ = segment_image(rgb, cfg.replace(dtype=dt))
+        print(f"config0 {dt} vs golden agreement: {agreement(labels, gold):.4f}",
+              flush=True)
+
+    # --- drive + golden comparison, config3 ---
+    from golden.graph import ncut_golden
+
+    cfg3 = gcis.preset("config3")
+    for dt in ("float32", "bfloat16"):
+        labels3, _ = segment_image(rgb, cfg3.replace(dtype=dt))
+        l3 = np.asarray(labels3)
+        print(f"config3 {dt}: ids {np.unique(l3)} PRI {pri_np(l3, [gt]):.4f}",
+              flush=True)
+
+    from golden.features import rgb_to_lab_np
+    from golden.graph import slic_golden
+    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+
+    g = cfg3.graph
+    lab_g = rgb_to_lab_np(rgb)
+    sp_g = slic_golden(lab_g, g.n_superpixels, g.slic_compactness, g.slic_iters)
+    gh, gw, _ = grid_shape(h, w, g.n_superpixels)
+    gold3 = ncut_golden(feats_g, sp_g, g.n_regions, g.affinity_sigma, gh * gw)
+    labels3, _ = segment_image(rgb, cfg3)
+    print(f"config3 fp32 vs golden agreement: {agreement(labels3, gold3):.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

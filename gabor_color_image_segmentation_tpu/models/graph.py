@@ -40,10 +40,21 @@ def superpixel_means(
     """(N, D) features + (N,) labels -> ((S, D) means, (S,) counts).
 
     Scatter-mean as a one-hot matmul: (S, N) @ (N, D) on the MXU (TPU
-    scatters lower to sort-based updates, orders of magnitude slower)."""
+    scatters lower to sort-based updates, orders of magnitude slower).
+    Precision: TPU DEFAULT f32 dots round operands to bf16 — lossy for
+    genuine f32 features (parity mode -> HIGHEST), lossless when the feature
+    tensor is already bf16 (one-hot weights are bf16-exact)."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if features.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     onehot = jax.nn.one_hot(labels, n_sp, dtype=jnp.float32)  # (N, S)
     sums = jnp.dot(
-        onehot.T, features.astype(jnp.float32), preferred_element_type=jnp.float32
+        onehot.T,
+        features.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=prec,
     )
     cnts = jnp.sum(onehot, axis=0)
     return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
@@ -60,7 +71,15 @@ def affinity_matrix(
     except a unit self-loop to keep the Laplacian well-posed.
     """
     sq = jnp.sum(f * f, axis=1)
-    d2 = sq[:, None] - 2.0 * jnp.dot(f, f.T, preferred_element_type=jnp.float32) + sq
+    d2 = (
+        sq[:, None]
+        - 2.0
+        * jnp.dot(
+            f, f.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + sq
+    )
     d2 = jnp.maximum(d2, 0.0)
     if sigma is None:
         med = jnp.median(d2)

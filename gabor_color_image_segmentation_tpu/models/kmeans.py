@@ -46,7 +46,10 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
 
     def dist_to(c):
         cf = c.astype(jnp.float32)
-        cross = jnp.dot(x, c, preferred_element_type=jnp.float32)
+        cross = jnp.dot(
+            x, c, preferred_element_type=jnp.float32,
+            precision=_precision_for(x.dtype),
+        )
         return xsq - 2.0 * cross + jnp.sum(cf * cf)
 
     mean = jnp.mean(xf, axis=0).astype(x.dtype)
@@ -67,6 +70,18 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
     return centers
 
 
+def _precision_for(dtype):
+    """fp32 is the parity-grade mode: TPU DEFAULT f32 dots round operands to
+    bf16, which silently demotes fp32 mode to bf16 accuracy (measured on the
+    SLIC scores: 0.76 label agreement vs exact). HIGHEST restores true f32;
+    bf16 production mode keeps the fast path."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _assign_scores(x: jnp.ndarray, centers: jnp.ndarray, dtype) -> jnp.ndarray:
     """(N,D), (k,D) -> (N,k) assignment scores c_sq - 2 x.c (one MXU matmul).
 
@@ -75,7 +90,10 @@ def _assign_scores(x: jnp.ndarray, centers: jnp.ndarray, dtype) -> jnp.ndarray:
     the identical reduction so label parity is exact)."""
     c_sq = jnp.sum(centers * centers, axis=1)
     cross = jnp.dot(
-        x.astype(dtype), centers.T.astype(dtype), preferred_element_type=jnp.float32
+        x.astype(dtype),
+        centers.T.astype(dtype),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(dtype),
     )
     return c_sq - 2.0 * cross
 
@@ -100,7 +118,10 @@ def kmeans(
         labels = jnp.argmin(_assign_scores(x_mm, centers, dtype), axis=1)
         onehot = jax.nn.one_hot(labels, k, dtype=dtype)  # (N,k)
         counts = jnp.sum(onehot.astype(jnp.float32), axis=0)  # (k,)
-        sums = jnp.dot(onehot.T, x_mm, preferred_element_type=jnp.float32)
+        sums = jnp.dot(
+            onehot.T, x_mm, preferred_element_type=jnp.float32,
+            precision=_precision_for(dtype),
+        )
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where(counts[:, None] > 0, new, centers)
 

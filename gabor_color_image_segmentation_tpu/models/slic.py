@@ -98,10 +98,16 @@ def slic(
     neighbor = (jnp.abs(gy[None, :] - py) <= 1) & (jnp.abs(gx[None, :] - px) <= 1)
     big = jnp.float32(3.4e38)
 
+    # TPU default-precision f32 dots round inputs to bf16; SLIC score gaps
+    # between adjacent candidates sit at the same magnitude as that error
+    # (measured: default-precision labels agree only 0.76 with exact f32).
+    # This path is the CPU/fallback route, so exactness beats MXU passes.
+    hi = jax.lax.Precision.HIGHEST
+
     def assign(centroids):
         cs = jnp.concatenate([centroids[:, :3], sw * centroids[:, 3:]], axis=1)
         scores = jnp.sum(cs * cs, axis=1) - 2.0 * jnp.dot(
-            z, cs.T, preferred_element_type=jnp.float32
+            z, cs.T, preferred_element_type=jnp.float32, precision=hi
         )  # (N, S) — one MXU matmul; ||z||^2 constant across s, dropped
         scores = jnp.where(neighbor, scores, big)
         return jnp.argmin(scores, axis=1)
@@ -111,7 +117,9 @@ def slic(
         # one-hot matmul instead of segment_sum: TPU scatters lower to
         # sort-based updates; (S, N) @ (N, 5) rides the MXU instead
         onehot = jax.nn.one_hot(labels, n_sp, dtype=jnp.float32)  # (N, S)
-        sums = jnp.dot(onehot.T, flat, preferred_element_type=jnp.float32)
+        sums = jnp.dot(
+            onehot.T, flat, preferred_element_type=jnp.float32, precision=hi
+        )
         cnts = jnp.sum(onehot, axis=0)
         new = sums / jnp.maximum(cnts, 1.0)[:, None]
         return jnp.where(cnts[:, None] > 0, new, centroids)

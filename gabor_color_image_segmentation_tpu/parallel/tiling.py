@@ -68,8 +68,16 @@ def _global_maximin(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
 
     x: (N_local, D). Every device returns the same (k, D) centers.
     """
-    n_dev = lax.axis_size(axis_name)
     mean = lax.pmean(jnp.mean(x, axis=0), axis_name)
+    # matvec distance form + HIGHEST precision, mirroring the single-chip
+    # maximin_init (models/kmeans.py) so tiled and untiled runs make
+    # identical seed picks
+    xsq = jnp.sum(x * x, axis=1)
+    hi = jax.lax.Precision.HIGHEST
+
+    def dist_to(c):
+        cross = jnp.dot(x, c, preferred_element_type=jnp.float32, precision=hi)
+        return xsq - 2.0 * cross + jnp.sum(c * c)
 
     def global_argmax_point(scores):
         # local winner -> all-gather candidates -> common global winner.
@@ -83,15 +91,15 @@ def _global_maximin(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
         j = jnp.argmax(all_s)
         return all_x[j]
 
-    c0 = global_argmax_point(jnp.sum((x - mean) ** 2, axis=1))
+    c0 = global_argmax_point(dist_to(mean))
     centers = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(c0)
-    dmin = jnp.sum((x - c0) ** 2, axis=1)
+    dmin = dist_to(c0)
 
     def body(i, carry):
         centers, dmin = carry
         c = global_argmax_point(dmin)
         centers = centers.at[i].set(c)
-        dmin = jnp.minimum(dmin, jnp.sum((x - c) ** 2, axis=1))
+        dmin = jnp.minimum(dmin, dist_to(c))
         return centers, dmin
 
     centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
@@ -109,10 +117,13 @@ def kmeans_sharded(
     keeping tiled-vs-untiled init identical."""
     x = x.astype(jnp.float32)
     centers0 = _global_maximin(x[::init_stride], k, axis_name)
+    # HIGHEST: TPU DEFAULT f32 dots round operands to bf16; tiled-vs-untiled
+    # label parity (tests/test_tiling.py) needs true f32 scores
+    hi = jax.lax.Precision.HIGHEST
 
     def assign(centers):
         scores = jnp.sum(centers * centers, axis=1) - 2.0 * jnp.dot(
-            x, centers.T, preferred_element_type=jnp.float32
+            x, centers.T, preferred_element_type=jnp.float32, precision=hi
         )
         return jnp.argmin(scores, axis=1)
 
@@ -120,7 +131,8 @@ def kmeans_sharded(
         labels = assign(centers)
         onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)
         sums = lax.psum(
-            jnp.dot(onehot.T, x, preferred_element_type=jnp.float32), axis_name
+            jnp.dot(onehot.T, x, preferred_element_type=jnp.float32, precision=hi),
+            axis_name,
         )
         counts = lax.psum(jnp.sum(onehot, axis=0), axis_name)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
