@@ -127,7 +127,11 @@ def kmeans(
 
     # Early exit at the Lloyd fixed point (sklearn's tol=0 semantics): once
     # centers stop changing, every further iteration is a no-op, so stopping
-    # is bitwise-identical to running the full n_iter — pure HBM savings.
+    # is bitwise-identical to running the full n_iter. Caveat measured on
+    # TPU: under vmap the batched while_loop runs until the SLOWEST image
+    # converges, so a batch only speeds up when every image stops early
+    # (sklearn-style tol>0 thresholds do not change that — tested, see
+    # experiments/exp_kmeans_tol.py — hence no tol knob here).
     def cond(carry):
         i, centers, changed = carry
         return (i < n_iter) & changed

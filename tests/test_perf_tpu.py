@@ -1,0 +1,51 @@
+"""Performance regression floors (SURVEY.md §4.5) — TPU-only.
+
+These tests run ONLY when a real TPU backend is attached (the CPU CI suite
+skips them): they assert end-to-end MP/s/chip floors well below the measured
+numbers (BASELINE.md) so genuine regressions trip them but tunnel jitter
+does not. Measured 2026-08-16 on v5 lite: config0 62.2, config1 14.7,
+config3 29.0.
+
+NOTE: tests/conftest.py forces the CPU backend for the rest of the suite;
+this module must re-select the TPU explicitly, so it spawns a subprocess
+with the axon plugin on PYTHONPATH when available.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_FLOORS = {"config0": 30.0, "config1": 8.0, "config3": 12.0}
+_AXON = "/root/.axon_site"
+
+
+def _tpu_available() -> bool:
+    return os.path.isdir(_AXON) and os.environ.get("GCIS_PERF_TESTS") == "1"
+
+
+pytestmark = pytest.mark.skipif(
+    not _tpu_available(),
+    reason="perf floors run on the real TPU only (set GCIS_PERF_TESTS=1)",
+)
+
+
+@pytest.mark.parametrize("preset_name", sorted(_FLOORS))
+def test_e2e_throughput_floor(preset_name):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{repo}:{_AXON}"
+    env.pop("JAX_PLATFORMS", None)
+    batch = ["--batch", "16"] if preset_name == "config0" else []
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), "--preset", preset_name]
+        + batch,
+        env=env, capture_output=True, text=True, timeout=3000, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    mp_s = json.loads(line)["value"]
+    assert mp_s > _FLOORS[preset_name], (
+        f"{preset_name}: {mp_s} MP/s below floor {_FLOORS[preset_name]}"
+    )
