@@ -248,7 +248,11 @@ PRESETS: dict[str, PipelineConfig] = {
         image_hw=(2160, 3840),
         batch_size=8,
         mesh_shape=(8,),
-        tile_hw=(1080, 1920),
+        # 432x768 windows keep the fused kernel's VMEM stack (input + box +
+        # Toeplitz matrices + modulate buffers, all ~ window area) under the
+        # 48 MB scoped budget (540x960 measured 54.6 MB -> compile OOM);
+        # ops/tiled.py makes the tiling exact
+        tile_hw=(432, 768),
     ),
 }
 

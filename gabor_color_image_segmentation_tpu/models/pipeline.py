@@ -52,17 +52,28 @@ def compute_features(
         except ImportError:
             impl = "modulated"
     if impl == "pallas":
-        energies = gabor_energies_fused(color, bank, dtype)
+        fn = gabor_energies_fused
     elif impl == "modulated":
         from gabor_color_image_segmentation_tpu.ops.modulated import (
             gabor_energies_mod,
         )
 
-        energies = gabor_energies_mod(color, bank, dtype)
+        fn = gabor_energies_mod
     elif impl == "direct":
-        energies = gabor_energies(color, bank, dtype)
+        fn = gabor_energies
     else:
         raise ValueError(f"unknown feature_impl {cfg.feature_impl!r}")
+    _, h, w, _ = color.shape
+    if cfg.tile_hw is not None and (h > cfg.tile_hw[0] or w > cfg.tile_hw[1]):
+        # large images: exact spatial tiling keeps the fused kernel's VMEM
+        # footprint bounded (ops/tiled.py; config 4)
+        from gabor_color_image_segmentation_tpu.ops.tiled import (
+            gabor_energies_tiled,
+        )
+
+        energies = gabor_energies_tiled(color, bank, dtype, cfg.tile_hw, fn)
+    else:
+        energies = fn(color, bank, dtype)
     return assemble_features(energies, color, cfg.cluster)
 
 

@@ -180,8 +180,10 @@ def _fused_group(
 
     # kernels per grid step: more kernels amortize per-step overheads and
     # overlap DMA with compute; VMEM peak stays modest since the conv-only
-    # halo shrank (smoothing borders live in the Toeplitz matrices now)
-    n_c = 2 if n % 2 == 0 else 1
+    # halo shrank (smoothing borders live in the Toeplitz matrices now).
+    # Large tiles (config-4 spatial tiling) drop to one kernel per step —
+    # the out block and Toeplitz matrices scale with the tile area.
+    n_c = 2 if (n % 2 == 0 and h * w <= 400_000) else 1
     n_chunks = n // n_c
 
     mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32

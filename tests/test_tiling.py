@@ -98,3 +98,45 @@ def test_2d_mesh_batch_space():
         pri_u = pri_np(untiled, [gts[i]])
         assert pri_t > pri_u - 0.05, f"image {i}: tiled {pri_t} vs untiled {pri_u}"
     assert exact >= 3, f"only {exact}/4 images in the same k-means basin"
+
+
+def test_intra_chip_spatial_tiling_exact(small_mosaic):
+    """ops/tiled.py single-device tiling == untiled energies, exactly —
+    including a ragged (non-dividing) tile size that forces overlapping
+    windows, and the pipeline-level tile_hw wiring."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gabor_color_image_segmentation_tpu.config import preset
+    from gabor_color_image_segmentation_tpu.models.pipeline import compute_features
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
+    from gabor_color_image_segmentation_tpu.ops.tiled import gabor_energies_tiled
+    from golden.features import rgb_to_lab_np
+
+    rgb, _ = small_mosaic  # 96 x 128
+    cfg = preset("config0")
+    bank = make_bank(cfg.bank)
+    lab = jnp.asarray(rgb_to_lab_np(rgb), jnp.float32)[None]
+
+    # structural exactness: every kept pixel's dependency cone is inside its
+    # window; residual diffs are per-window f32 accumulation order (the
+    # impl's internal mean-centering), ~1e-5 of the energy scale
+    ref = gabor_energies_mod(lab, bank, jnp.float32)
+    for tile in [(48, 64), (40, 50)]:  # dividing and ragged
+        tiled = gabor_energies_tiled(
+            lab, bank, jnp.float32, tile, gabor_energies_mod
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled), np.asarray(ref), atol=0.05, rtol=1e-5
+        )
+
+    # pipeline wiring: tile_hw set -> same features as untiled
+    cfg_t = cfg.replace(tile_hw=(40, 50), feature_impl="modulated")
+    f_t = compute_features(jnp.asarray(rgb)[None], cfg_t, bank)
+    f_u = compute_features(
+        jnp.asarray(rgb)[None], cfg.replace(feature_impl="modulated"), bank
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_t), np.asarray(f_u), atol=2e-3, rtol=1e-4
+    )
