@@ -41,8 +41,10 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
     if stride > 1:
         x = x[::stride]
     n, d = x.shape
-    xf = x.astype(jnp.float32)
-    xsq = jnp.sum(xf * xf, axis=1)  # (N,) f32, one pass over x
+    # single-use cast: naming an f32 alias of x would CSE + materialize a
+    # lane-padded copy (3.3x at D=39; see kmeans_batch for the large-image
+    # memory strategy)
+    xsq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=1)  # (N,) f32
 
     def dist_to(c):
         cf = c.astype(jnp.float32)
@@ -52,7 +54,7 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
         )
         return xsq - 2.0 * cross + jnp.sum(cf * cf)
 
-    mean = jnp.mean(xf, axis=0).astype(x.dtype)
+    mean = jnp.mean(x, axis=0, dtype=jnp.float32).astype(x.dtype)
     idx0 = jnp.argmax(dist_to(mean))
     c0 = x[idx0]
     centers = jnp.zeros((k, d), x.dtype).at[0].set(c0)
@@ -100,7 +102,12 @@ def _assign_scores(x: jnp.ndarray, centers: jnp.ndarray, dtype) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def kmeans(
-    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32, init_stride: int = 1
+    x: jnp.ndarray,
+    k: int,
+    n_iter: int = 25,
+    dtype=jnp.float32,
+    init_stride: int = 1,
+    centers0: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd k-means. x: (N, D) float -> (labels (N,) int32, centers (k, D)).
 
@@ -108,11 +115,17 @@ def kmeans(
     dtype=bfloat16 halves the Lloyd-loop HBM traffic (the dominant cost at
     D ~ 243); labels may differ from the fp32 path on borderline pixels.
     init_stride seeds maximin from a strided subset (golden mirrors it).
+    centers0 overrides the init (used by kmeans_batch to hoist large-image
+    inits out of the vmap — see there); must equal maximin_init's output
+    for golden parity.
     """
     # keep x in the matmul dtype throughout — upcasting a bf16 feature tensor
     # to f32 here would double the Lloyd loop's HBM traffic
     x_mm = x.astype(dtype)
-    centers0 = maximin_init(x_mm, k, init_stride).astype(jnp.float32)
+    if centers0 is None:
+        centers0 = maximin_init(x_mm, k, init_stride).astype(jnp.float32)
+    else:
+        centers0 = centers0.astype(jnp.float32)
 
     def step(centers):
         labels = jnp.argmin(_assign_scores(x_mm, centers, dtype), axis=1)
@@ -156,16 +169,18 @@ def kmeans_fit_assign(
     dtype=jnp.float32,
     subsample: int = 1,
     init_stride: int = 1,
+    centers0: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd on every ``subsample``-th pixel, final assignment on all pixels.
 
     subsample=1 is exactly ``kmeans``. Larger values cut the Lloyd-loop HBM
     traffic by that factor (the dominant e2e cost at D ~ 243) at the price of
     centers fitted on a strided pixel subset — a documented speed/parity
-    trade-off (OFF by default in every preset)."""
+    trade-off (OFF by default in every preset). centers0 (if given) must be
+    the maximin init of the SUBSAMPLED view."""
     if subsample == 1:
-        return kmeans(x, k, n_iter, dtype, init_stride)
-    _, centers = kmeans(x[::subsample], k, n_iter, dtype, init_stride)
+        return kmeans(x, k, n_iter, dtype, init_stride, centers0)
+    _, centers = kmeans(x[::subsample], k, n_iter, dtype, init_stride, centers0)
     labels = jnp.argmin(
         _assign_scores(x.astype(dtype), centers, dtype), axis=1
     ).astype(jnp.int32)
@@ -203,8 +218,26 @@ def kmeans_batch(
             lambda f, c: jnp.argmin(_assign_scores(f.astype(dtype), c, dtype), axis=1)
         )(x, centers).astype(jnp.int32)
         return labels, centers
-    fit = lambda f: kmeans_fit_assign(f, k, n_iter, dtype, subsample, init_stride)
-    labels, centers = jax.vmap(fit)(x)
+    fit_view = x if subsample == 1 else x[:, ::subsample]
+    centers0 = None
+    if fit_view.shape[1] > 1_000_000:
+        # large images: the vmapped init would materialize a lane-padded
+        # copy of the whole batch (3.3x at D=39 — measured 15.8 GB HBM for
+        # 4K batch-8); a sequential lax.map keeps one image's temp live.
+        # Same maximin math -> same seeds -> parity unchanged.
+        centers0 = lax.map(
+            lambda xi: maximin_init(xi.astype(dtype), k, init_stride).astype(
+                jnp.float32
+            ),
+            fit_view,
+        )
+    fit = lambda f, c0: kmeans_fit_assign(
+        f, k, n_iter, dtype, subsample, init_stride, c0
+    )
+    if centers0 is None:
+        labels, centers = jax.vmap(lambda f: fit(f, None))(x)
+    else:
+        labels, centers = jax.vmap(fit)(x, centers0)
     return labels, centers
 
 

@@ -158,11 +158,20 @@ def assemble_features(
         [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
     )
     if cluster_cfg.normalize:
-        # moments accumulate in f32 regardless of the storage dtype
-        f32 = feats.astype(jnp.float32)
-        mean = jnp.mean(f32, axis=(1, 2), keepdims=True)
-        std = jnp.std(f32, axis=(1, 2), keepdims=True)
-        return ((f32 - mean) / (std + eps) * scale).astype(out_dtype)
+        # moments accumulate in f32 regardless of the storage dtype. One-pass
+        # variance (E[x^2] - mu^2, golden mirrors the identical formula): a
+        # named f32 copy of the feature tensor would MATERIALIZE (10.4 GB for
+        # a 4K batch-8 — measured HBM OOM); with the casts appearing once per
+        # consumer XLA fuses them into the reductions and the normalize.
+        mean = jnp.mean(feats, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        sq = jnp.mean(
+            jnp.square(feats.astype(jnp.float32)), axis=(1, 2), keepdims=True
+        )
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        std = jnp.sqrt(var)
+        return (
+            (feats.astype(jnp.float32) - mean) / (std + eps) * scale
+        ).astype(out_dtype)
     return (feats.astype(jnp.float32) * scale).astype(out_dtype)
 
 

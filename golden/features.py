@@ -91,10 +91,14 @@ def assemble_features_np(
         [energies.astype(np.float32), color.astype(np.float32)], axis=-1
     )
     if cluster_cfg.normalize:
-        flat = feats.reshape(-1, feats.shape[-1])
+        # one-pass variance E[x^2] - mu^2, the exact formula the TPU path
+        # uses (ops/features.py assemble_features: a two-pass std would
+        # force a materialized f32 copy of the feature tensor on-device)
+        flat = feats.reshape(-1, feats.shape[-1]).astype(np.float64)
         mean = flat.mean(axis=0)
-        std = flat.std(axis=0)
-        feats = (feats - mean) / (std + eps)
+        var = np.maximum((flat * flat).mean(axis=0) - mean * mean, 0.0)
+        std = np.sqrt(var)
+        feats = ((feats - mean) / (std + eps)).astype(np.float32)
     e = energies.shape[-1]
     # equal-total-variance balance of energy vs color blocks; see
     # ops/features.py assemble_features docstring (shared contract)
