@@ -54,7 +54,14 @@ def _m_step(x: jnp.ndarray, resp: jnp.ndarray, reg_covar: float) -> GMMParams:
 
 
 def _log_prob(x: jnp.ndarray, params: GMMParams) -> jnp.ndarray:
-    """(N, D) -> (N, k) weighted log prob log w_j + log N(x | mu_j, S_j)."""
+    """(N, D) -> (N, k) weighted log prob log w_j + log N(x | mu_j, S_j).
+
+    Stays on the triangular solve deliberately: replacing it with a
+    precision-Cholesky MXU matmul was measured/modeled as a wash — the step
+    is HBM-bound on the (D, N) diff (~2.4 ms/iter floor vs 3.0 measured),
+    DEFAULT-precision f32 dots would bf16-round the Mahalanobis (~0.3
+    absolute on maha ~ 39 -> boundary responsibility shifts), and HIGHEST
+    costs 6 MXU passes (~9 ms/iter > the solve)."""
     n, d = x.shape
 
     def per_component(mean, cov):

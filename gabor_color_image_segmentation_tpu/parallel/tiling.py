@@ -55,7 +55,15 @@ def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarra
     from_next = lax.ppermute(
         x[:halo], axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
-    # REFLECT_101 local fallback at the outer borders
+    # REFLECT_101 local fallback at the outer borders. Known approximation:
+    # the border contract reflects the MAGNITUDE map, and for diagonal
+    # orientations mag(conv(reflect(input))) != reflect(mag(conv(input))) —
+    # measured error in the outermost rows of the first/last strip: <= 1.5%
+    # of the energy scale at row 0, decaying to float noise by row ~10;
+    # tiled-vs-untiled label agreement stays > 0.999 (tests/test_tiling.py).
+    # The intra-chip tiler (ops/tiled.py) avoids this entirely by clamping
+    # windows at true borders — adopt the same scheme here if border-exact
+    # multi-chip output is ever required.
     top_reflect = x[1 : halo + 1][::-1]
     bot_reflect = x[-halo - 1 : -1][::-1]
     top = jnp.where(idx == 0, top_reflect, from_prev)
