@@ -8,12 +8,17 @@ of grid rows, so this kernel processes the image in BANDS of rows: for a
 band, every pixel's 9 candidates fall inside a window of `w_rows` (<= 5)
 consecutive grid rows = w_rows*gw <= 128 centroids — one 128-lane MXU tile.
 
-Per (image, band) grid step, entirely in VMEM:
+Per (image, band) grid step, entirely in VMEM (measured 44 -> 9.4 ms real
+per batch-8 vs the XLA path):
 
-    scores  = csq - 2 * cand @ z        ((128, 8) @ (8, band_px) MXU matmul)
+    scores  = csq - 2 * [c_hi,c_hi,c_lo] @ [z_hi;z_lo;z_hi]
+              (ONE (128, 24) @ (24, band_px) MXU matmul — all three bf16x3
+              terms share a single 128-deep contraction chunk; the z split
+              is hoisted out of the Lloyd loop)
     mask    = |cand_cell - pixel_cell| <= 1 per axis   (iota arithmetic)
     labels  = argmin over the 128 candidates           (global id = off + j)
-    psums  += onehot @ z^T               ((128, band_px) @ (band_px, 8) MXU)
+    psums   = onehot @ [z_hi;z_lo]^T     (one (128, band_px) @ (band_px, 16)
+              MXU matmul; hi/lo halves added in f32)
 
 Scores, tie-breaks (ascending global centroid id), and the empty-cluster
 rule match models/slic.py::slic exactly (see the ones-column note below);
@@ -102,7 +107,7 @@ def _dot_bf16(a, b, dims):
 
 
 def _slic_kernel(
-    z_ref,  # (1, _C, band_px) f32 — channel-first pixels of one band
+    zp_ref,  # (1, 3*_C, band_px) bf16 — PACKED pixels [z_hi; z_lo; z_hi]
     cand_ref,  # (1, 1, _CAND, _C) f32 — candidate centroids (weighted, ones-col)
     rb_ref,  # (n_bands, 1) int32 SMEM — first candidate grid row per band
     labels_ref,  # (1, 1, 8, band_px // 8) int32 — global ids, row-major view
@@ -117,23 +122,23 @@ def _slic_kernel(
     band_px: int,
 ):
     t = pl.program_id(1)
-    z = z_ref[0]  # (_C, band_px)
-    cand = cand_ref[0, 0]  # (_CAND, _C)
-    csq = jnp.sum(cand * cand, axis=1)  # (_CAND,)
-    # Precision matters here: TPU DEFAULT f32 dots round inputs to bf16, and
-    # the resulting +-0.4% score error is the same magnitude as the score gap
-    # between adjacent candidates (measured 0.72 label agreement vs the exact
-    # XLA path). Mosaic supports neither HIGH nor mixed f32 algorithms in
-    # pallas dots, so bf16x3 is decomposed by hand: a = a_hi + a_lo with both
-    # halves bf16-exact -> 3 MXU passes, ~2^-16 relative error (HIGHEST would
-    # be 6 passes).
-    z_hi, z_lo = _split_bf16(z)
+    zp = zp_ref[0]  # (3*_C, band_px) bf16
+    cand = cand_ref[0, 0]  # (_CAND, _C) f32
+    csq = jnp.sum(cand * cand, axis=1)  # (_CAND,) f32 exact
+    # Precision: TPU DEFAULT f32 dots round inputs to bf16, and the +-0.4%
+    # score error matches the score gap between adjacent candidates (measured
+    # 0.72 label agreement vs exact). Mosaic supports neither HIGH nor f32
+    # dot algorithms, so bf16x3 is decomposed by hand — and all three product
+    # terms PACK into one 24-deep contraction (one 128-deep MXU chunk, same
+    # cycles as a single 8-deep pass):
+    #   cross = [c_hi, c_hi, c_lo] @ [z_hi; z_lo; z_hi]
+    # The z split is hoisted OUT of the Lloyd loop (z is iteration-constant),
+    # so each pass reads one packed bf16 tensor instead of re-splitting f32.
     c_hi, c_lo = _split_bf16(cand)
-    dims = (((1,), (0,)), ((), ()))
-    cross = (
-        _dot_bf16(c_hi, z_hi, dims)
-        + _dot_bf16(c_hi, z_lo, dims)
-        + _dot_bf16(c_lo, z_hi, dims)
+    c_pack = jnp.concatenate([c_hi, c_hi, c_lo], axis=1)  # (_CAND, 3*_C)
+    cross = jax.lax.dot_general(
+        c_pack, zp, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (_CAND, band_px)
     scores = csq[:, None] - 2.0 * cross
 
@@ -157,16 +162,17 @@ def _slic_kernel(
     local = jnp.argmin(scores, axis=0).astype(jnp.int32)  # (band_px,)
     labels_ref[0, 0] = (rb * gw + local).reshape(8, band_px // 8)
 
-    valid = ((y < h) & (x < w)).astype(jnp.float32)  # (1, band_px)
+    valid = ((y < h) & (x < w)).astype(jnp.bfloat16)  # (1, band_px)
     onehot = (
         local[None, :] == jax.lax.broadcasted_iota(jnp.int32, (_CAND, band_px), 0)
-    ).astype(jnp.float32) * valid
-    # onehot is 0/1 (bf16-exact), so splitting z alone gives ~f32 sums in 2
-    # MXU passes
-    sdims = (((1,), (1,)), ((), ()))
-    psums_ref[0, 0] = _dot_bf16(onehot, z_hi, sdims) + _dot_bf16(
-        onehot, z_lo, sdims
-    )  # (_CAND, _C)
+    ).astype(jnp.bfloat16) * valid  # 0/1 — bf16-exact
+    # one packed sums matmul over [z_hi; z_lo] (the first 2*_C rows of zp):
+    # (CAND, band) @ (2*_C, band)^T -> hi/lo halves added in f32
+    both = jax.lax.dot_general(
+        onehot, zp[: 2 * _C], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (_CAND, 2*_C)
+    psums_ref[0, 0] = both[:, :_C] + both[:, _C:]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -207,6 +213,12 @@ def slic_fused(
         axis=-1,
     )  # (B, Hp, Wp, _C)
     z_cf = z.reshape(b, hp * wp, _C).transpose(0, 2, 1)  # (B, _C, Np)
+    # hoist the bf16x3 operand split out of the Lloyd loop (z is constant
+    # across iterations): packed rows [z_hi; z_lo; z_hi] pair with the
+    # kernel's [c_hi, c_hi, c_lo] for the one-matmul 3-term contraction
+    z_hi = z_cf.astype(jnp.bfloat16)
+    z_lo = (z_cf - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    z_pack = jnp.concatenate([z_hi, z_lo, z_hi], axis=1)  # (B, 3*_C, Np) bf16
 
     # initial centroids at cell centers (same formulas as models/slic.py)
     cy = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
@@ -249,7 +261,7 @@ def slic_fused(
             kernel,
             grid=(b, n_bands),
             in_specs=[
-                pl.BlockSpec((1, _C, band_px), lambda bi, t: (bi, 0, t),
+                pl.BlockSpec((1, 3 * _C, band_px), lambda bi, t: (bi, 0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, _CAND, _C), lambda bi, t: (bi, t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -275,7 +287,7 @@ def slic_fused(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(z_cf, cands, rb_dev)
+        )(z_pack, cands, rb_dev)
 
         def scatter(ps):  # (n_bands, _CAND, _C) -> (S, _C)
             g = jnp.zeros((n_sp, _C), jnp.float32)

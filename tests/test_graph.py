@@ -140,3 +140,22 @@ def test_subspace_eigensolver_matches_eigh(rng):
     approx = np.asarray(smallest_eigvecs_subspace(jnp.asarray(lsym, jnp.float32), 3))
     sv = np.linalg.svd(exact.T @ approx, compute_uv=False)
     assert sv.min() > 0.99, sv  # cos(principal angles) ~ 1
+
+
+def test_table_lookup_matches_gather(rng):
+    """Pallas table-lookup kernel (interpret mode) == plain gather."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.ops.lookup import (
+        _lookup_tpu,
+        table_lookup,
+    )
+
+    idx = rng.integers(0, 384, (2, 50000)).astype(np.int32)
+    table = rng.integers(0, 7, (2, 384)).astype(np.int32)
+    ref = np.stack([table[i][idx[i]] for i in range(2)])
+    out = np.asarray(table_lookup(jnp.asarray(idx), jnp.asarray(table)))
+    np.testing.assert_array_equal(out, ref)
+    # force the kernel path (interpret mode off-TPU)
+    out2 = np.asarray(_lookup_tpu(jnp.asarray(idx), jnp.asarray(table)))
+    np.testing.assert_array_equal(out2, ref)
