@@ -1,0 +1,113 @@
+"""End-to-end throughput benchmark core (SURVEY.md §6; BASELINE metric).
+
+Shared by the repo-root ``bench.py`` (the driver's one-JSON-line contract)
+and ``cli.py bench``. Measures device-side end-to-end MP/s (ingest-from-HBM
+-> int32 label maps) with a scalar-checksum execution fence — on the
+tunneled axon platform ``block_until_ready()`` does not block, and
+host<->device transfers ride a ~50 MB/s tunnel, so the batch is uploaded
+once and the timed region loops ``iters`` executions inside one jit.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+# CPU golden-path throughput for the same workloads (MP/s), measured on this
+# machine (1-core x86) via measure_cpu_golden on 2026-08-16; see BASELINE.md.
+CPU_BASELINE_MP_S = {"config0": 0.1632, "config1": 0.0113}
+
+
+def build_batch(cfg, n_images: int) -> np.ndarray:
+    from gabor_color_image_segmentation_tpu.data import synthetic_mosaic
+
+    h, w = cfg.image_hw
+    return np.stack(
+        [
+            synthetic_mosaic(h=h, w=w, n_regions=5, seed=100 + i)[0]
+            for i in range(n_images)
+        ]
+    )
+
+
+def bench_device(cfg, batch: np.ndarray, iters: int) -> float:
+    """MP/s for the jitted pipeline on the current default backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.pipeline import segment_batch
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+
+    bank = make_bank(cfg.bank)
+    batch_dev = jnp.asarray(batch)
+
+    @jax.jit
+    def run(b):
+        def body(i, acc):
+            labels, _ = segment_batch(b + i.astype(b.dtype), cfg, bank)
+            return acc + jnp.sum(labels)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    int(run(batch_dev))  # warm-up / compile
+    t0 = time.perf_counter()
+    int(run(batch_dev))
+    dt = (time.perf_counter() - t0) / iters
+    mp = batch.shape[0] * batch.shape[1] * batch.shape[2] / 1e6
+    return mp / dt
+
+
+def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
+    """Golden-path (reference-equivalent) throughput — the 100x denominator."""
+    from golden.cluster import kmeans_golden
+    from golden.features import features_golden
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+
+    bank = make_bank(cfg.bank)
+    t0 = time.perf_counter()
+    for i in range(n_images):
+        feats = features_golden(batch[i], cfg.bank, cfg.cluster, bank=bank)
+        h, w, d = feats.shape
+        kmeans_golden(feats.reshape(-1, d), cfg.cluster.k, cfg.cluster.n_iter)
+    dt = (time.perf_counter() - t0) / n_images
+    return batch.shape[1] * batch.shape[2] / 1e6 / dt
+
+
+def run_benchmark(
+    preset_name: str = "config1",
+    batch_size: int | None = None,
+    iters: int = 10,
+    dtype: str = "bfloat16",
+    subsample: int = 1,
+    measure_cpu: bool = False,
+    cpu_images: int = 1,
+) -> dict:
+    """Returns the driver-contract result dict (one JSON line's content)."""
+    import dataclasses
+
+    from gabor_color_image_segmentation_tpu.config import preset
+
+    cfg = preset(preset_name).replace(dtype=dtype)
+    if subsample != 1:
+        cfg = cfg.replace(
+            cluster=dataclasses.replace(cfg.cluster, subsample=subsample)
+        )
+    if batch_size:
+        cfg = cfg.replace(batch_size=batch_size)
+    batch = build_batch(cfg, cfg.batch_size)
+
+    mp_s = bench_device(cfg, batch, iters)
+
+    cpu_mp_s = CPU_BASELINE_MP_S.get(preset_name)
+    if measure_cpu or cpu_mp_s is None:
+        cpu_mp_s = measure_cpu_golden(cfg, batch, cpu_images)
+    vs = mp_s / cpu_mp_s if cpu_mp_s else None
+    return {
+        "metric": f"end-to-end MP/s/chip ({preset_name}: "
+        f"{cfg.bank.n_kernels}-kernel bank, batch {cfg.batch_size}, "
+        f"{cfg.cluster.method} k={cfg.cluster.k})",
+        "value": round(mp_s, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(vs, 1) if vs else None,
+    }

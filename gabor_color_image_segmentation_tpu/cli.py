@@ -99,6 +99,23 @@ def cmd_eval(args):
     print(json.dumps(summary))
 
 
+def cmd_bench(args):
+    from gabor_color_image_segmentation_tpu.benchmark import run_benchmark
+
+    print(
+        json.dumps(
+            run_benchmark(
+                preset_name=args.preset,
+                batch_size=args.batch,
+                iters=args.iters,
+                dtype=args.dtype if args.dtype else "bfloat16",
+                subsample=args.subsample,
+                measure_cpu=args.measure_cpu,
+            )
+        )
+    )
+
+
 def cmd_info(args):
     from gabor_color_image_segmentation_tpu.config import PRESETS
     from gabor_color_image_segmentation_tpu.ops.bank import make_bank
@@ -149,6 +166,13 @@ def main(argv=None):
     p_eval.add_argument("--profile", default=None, help="jax profiler trace dir")
     p_eval.add_argument("--debug-nans", action="store_true", help="jax_debug_nans")
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_bench = sub.add_parser("bench", help="end-to-end throughput (one JSON line)")
+    _add_preset_args(p_bench)  # provides --preset/--batch/--dtype overrides
+    p_bench.add_argument("--iters", type=int, default=10)
+    p_bench.add_argument("--subsample", type=int, default=1)
+    p_bench.add_argument("--measure-cpu", action="store_true")
+    p_bench.set_defaults(fn=cmd_bench)
 
     p_info = sub.add_parser("info", help="describe a preset / bank")
     _add_preset_args(p_info)
