@@ -16,7 +16,15 @@ import numpy as np
 
 # CPU golden-path throughput for the same workloads (MP/s), measured on this
 # machine (1-core x86) via measure_cpu_golden on 2026-08-16; see BASELINE.md.
-CPU_BASELINE_MP_S = {"config0": 0.1632, "config1": 0.0113}
+# Method-correct: config2's golden runs the f64 GMM EM, config3's runs
+# SLIC + spectral n-cut, config4's runs k-means on the 4K frame.
+CPU_BASELINE_MP_S = {
+    "config0": 0.1632,
+    "config1": 0.0113,
+    "config2": 0.00087,
+    "config3": 0.02925,
+    "config4": 0.0428,
+}
 
 
 def build_batch(cfg, n_images: int) -> np.ndarray:
@@ -59,17 +67,35 @@ def bench_device(cfg, batch: np.ndarray, iters: int) -> float:
 
 
 def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
-    """Golden-path (reference-equivalent) throughput — the 100x denominator."""
-    from golden.cluster import kmeans_golden
-    from golden.features import features_golden
+    """Golden-path (reference-equivalent) throughput — the 100x denominator.
+
+    Runs the SAME stage chain as the preset under test: kmeans or per-image
+    GMM EM, plus the SLIC + spectral n-cut graph stage when enabled (earlier
+    versions always timed kmeans_golden, which mis-stated vs_baseline for
+    configs 2 and 3)."""
+    from golden.cluster import gmm_golden, kmeans_golden
+    from golden.features import features_golden, rgb_to_lab_np
+    from golden.graph import ncut_golden, slic_golden
+    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
     from gabor_color_image_segmentation_tpu.ops.bank import make_bank
 
     bank = make_bank(cfg.bank)
+    c, g = cfg.cluster, cfg.graph
     t0 = time.perf_counter()
     for i in range(n_images):
-        feats = features_golden(batch[i], cfg.bank, cfg.cluster, bank=bank)
+        feats = features_golden(batch[i], cfg.bank, c, bank=bank)
         h, w, d = feats.shape
-        kmeans_golden(feats.reshape(-1, d), cfg.cluster.k, cfg.cluster.n_iter)
+        if g.enabled and g.cut == "ncut":
+            lab = rgb_to_lab_np(batch[i])
+            sp = slic_golden(lab, g.n_superpixels, g.slic_compactness, g.slic_iters)
+            gh, gw, _ = grid_shape(h, w, g.n_superpixels)
+            ncut_golden(feats, sp, g.n_regions, g.affinity_sigma, gh * gw)
+        elif c.method == "gmm":
+            gmm_golden(
+                feats.reshape(-1, d), c.k, c.n_iter, c.gmm_reg_covar, c.gmm_tol
+            )
+        else:
+            kmeans_golden(feats.reshape(-1, d), c.k, c.n_iter)
     dt = (time.perf_counter() - t0) / n_images
     return batch.shape[1] * batch.shape[2] / 1e6 / dt
 
@@ -82,13 +108,21 @@ def run_benchmark(
     subsample: int = 1,
     measure_cpu: bool = False,
     cpu_images: int = 1,
+    cfg=None,
 ) -> dict:
-    """Returns the driver-contract result dict (one JSON line's content)."""
+    """Returns the driver-contract result dict (one JSON line's content).
+
+    Pass ``cfg`` (a PipelineConfig) to benchmark an arbitrary configuration
+    (the CLI's preset-override flags build one); the stored CPU baseline is
+    only trusted for unmodified presets."""
     import dataclasses
+    import sys
 
     from gabor_color_image_segmentation_tpu.config import preset
 
-    cfg = preset(preset_name).replace(dtype=dtype)
+    stock = cfg is None
+    if cfg is None:
+        cfg = preset(preset_name).replace(dtype=dtype)
     if subsample != 1:
         cfg = cfg.replace(
             cluster=dataclasses.replace(cfg.cluster, subsample=subsample)
@@ -99,12 +133,16 @@ def run_benchmark(
 
     mp_s = bench_device(cfg, batch, iters)
 
-    cpu_mp_s = CPU_BASELINE_MP_S.get(preset_name)
+    cpu_mp_s = CPU_BASELINE_MP_S.get(preset_name) if stock else None
     if measure_cpu or cpu_mp_s is None:
         cpu_mp_s = measure_cpu_golden(cfg, batch, cpu_images)
+        print(
+            f"# measured CPU golden baseline: {cpu_mp_s:.4f} MP/s",
+            file=sys.stderr,
+        )
     vs = mp_s / cpu_mp_s if cpu_mp_s else None
     return {
-        "metric": f"end-to-end MP/s/chip ({preset_name}: "
+        "metric": f"end-to-end MP/s/chip ({cfg.name}: "
         f"{cfg.bank.n_kernels}-kernel bank, batch {cfg.batch_size}, "
         f"{cfg.cluster.method} k={cfg.cluster.k})",
         "value": round(mp_s, 3),

@@ -102,15 +102,23 @@ def cmd_eval(args):
 def cmd_bench(args):
     from gabor_color_image_segmentation_tpu.benchmark import run_benchmark
 
+    from gabor_color_image_segmentation_tpu.config import preset
+
+    cfg = _build_cfg(args)  # honors ALL preset-override flags (--k, --method, ...)
+    if not args.dtype:
+        cfg = cfg.replace(dtype="bfloat16")  # bench default is production mode
+    # unmodified preset -> let run_benchmark use the stored CPU baseline
+    stock = cfg == preset(args.preset).replace(dtype=cfg.dtype, batch_size=cfg.batch_size)
     print(
         json.dumps(
             run_benchmark(
                 preset_name=args.preset,
-                batch_size=args.batch,
+                batch_size=cfg.batch_size,
                 iters=args.iters,
-                dtype=args.dtype if args.dtype else "bfloat16",
+                dtype=cfg.dtype,
                 subsample=args.subsample,
                 measure_cpu=args.measure_cpu,
+                cfg=None if stock else cfg,
             )
         )
     )

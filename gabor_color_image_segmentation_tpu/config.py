@@ -148,6 +148,11 @@ class GraphConfig:
     # label ARI >= 0.975 vs eigh on structured inputs), exact eigh elsewhere;
     # "eigh" forces the parity-grade dense solve on all backends
     eig_method: str = "auto"  # "auto" | "eigh" | "subspace"
+    # "auto" = fused banded Pallas kernel on TPU (bf16x3 scores, ~0.995
+    # per-pixel agreement vs exact f32; 4.7x faster), masked-dense XLA
+    # elsewhere; "xla" forces the exact-f32 path everywhere (parity-grade,
+    # pair with eig_method="eigh"); "fused" forces the kernel
+    slic_impl: str = "auto"  # "auto" | "fused" | "xla"
     adjacency_only: bool = False  # restrict affinity to adjacent superpixels
     mincut_k: float = 300.0  # Felzenszwalb-style merge threshold
     mincut_min_size: int = 10  # minimum region size (in superpixels)

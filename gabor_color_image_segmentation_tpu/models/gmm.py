@@ -120,7 +120,7 @@ def gmm_fit(
             return i + 1, new, ll, go
 
         _, params, _, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), params0, jnp.float32(-jnp.inf), True)
+            cond, body, (jnp.int32(0), params0, jnp.float32(-jnp.inf), n_iter > 0)
         )
     log_resp, _ = _e_step(x, params)
     labels = jnp.argmax(log_resp, axis=1).astype(jnp.int32)

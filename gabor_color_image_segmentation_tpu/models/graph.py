@@ -44,11 +44,9 @@ def superpixel_means(
     Precision: TPU DEFAULT f32 dots round operands to bf16 — lossy for
     genuine f32 features (parity mode -> HIGHEST), lossless when the feature
     tensor is already bf16 (one-hot weights are bf16-exact)."""
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if features.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
+
+    prec = precision_for(features.dtype)
     onehot = jax.nn.one_hot(labels, n_sp, dtype=jnp.float32)  # (N, S)
     sums = jnp.dot(
         onehot.T,
@@ -235,7 +233,7 @@ def graph_segment_batch(
         from gabor_color_image_segmentation_tpu.ops.lookup import table_lookup
 
         b, h, w, _ = features.shape
-        sp = slic_batch(lab, g.n_superpixels, g.slic_compactness, g.slic_iters)
+        sp = slic_batch(lab, g.n_superpixels, g.slic_compactness, g.slic_iters, g.slic_impl)
         gh, gw, _ = grid_shape(h, w, g.n_superpixels)
         fn = lambda f, s: ncut_regions(
             f, s, gh * gw, g.n_regions, g.affinity_sigma, g.eig_method

@@ -72,16 +72,9 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
     return centers
 
 
-def _precision_for(dtype):
-    """fp32 is the parity-grade mode: TPU DEFAULT f32 dots round operands to
-    bf16, which silently demotes fp32 mode to bf16 accuracy (measured on the
-    SLIC scores: 0.76 label agreement vs exact). HIGHEST restores true f32;
-    bf16 production mode keeps the fast path."""
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+from gabor_color_image_segmentation_tpu.ops.precision import (
+    precision_for as _precision_for,
+)
 
 
 def _assign_scores(x: jnp.ndarray, centers: jnp.ndarray, dtype) -> jnp.ndarray:

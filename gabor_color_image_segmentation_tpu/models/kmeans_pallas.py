@@ -66,8 +66,16 @@ def _lloyd_kernel(
     x = x_ref[0]  # (block, Dp)
     c = c_ref[0]  # (_K_PAD, Dp) f32
     csq = jnp.sum(c * c, axis=1)  # (_K_PAD,)
+    # f32 mode pins HIGHEST (Mosaic DEFAULT f32 dots round operands to bf16
+    # — the precision-audit failure mode); bf16 mode stays DEFAULT-lossless
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     cross = jnp.dot(
-        x, c.T.astype(x.dtype), preferred_element_type=jnp.float32
+        x, c.T.astype(x.dtype), preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (block, _K_PAD)
     scores = csq - 2.0 * cross
     lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)

@@ -161,7 +161,7 @@ def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None
     feats = jax.jit(lambda b: compute_features(b, cfg, bank))(rgb)
     lab = jax.jit(lambda b: _color_transform(b, "lab"))(rgb)
     sp = jax.jit(
-        lambda l: slic_batch(l, g.n_superpixels, g.slic_compactness, g.slic_iters)
+        lambda l: slic_batch(l, g.n_superpixels, g.slic_compactness, g.slic_iters, g.slic_impl)
     )(lab)
     feats_np = np.asarray(feats)
     sp_np = np.asarray(sp)

@@ -312,13 +312,25 @@ def slic_fused(
 
 
 def slic_batch(
-    lab: jnp.ndarray, n_superpixels: int, ruler: float = 10.0, n_iter: int = 10
+    lab: jnp.ndarray,
+    n_superpixels: int,
+    ruler: float = 10.0,
+    n_iter: int = 10,
+    impl: str = "auto",
 ) -> jnp.ndarray:
-    """(B, H, W, 3) -> (B, H, W): fused banded kernel on TPU when eligible,
-    vmapped XLA SLIC otherwise (same scores / tie-breaks either way)."""
+    """(B, H, W, 3) -> (B, H, W) superpixel labels.
+
+    impl="auto": fused banded kernel on TPU when eligible (bf16x3 scores,
+    ~0.995 per-pixel agreement vs exact f32), vmapped XLA SLIC otherwise.
+    impl="xla" forces the exact-f32 path on every backend (parity-grade);
+    impl="fused" forces the kernel (raises if the shape is ineligible)."""
     from gabor_color_image_segmentation_tpu.models.slic import slic
 
     b, h, w, _ = lab.shape
-    if jax.default_backend() == "tpu" and slic_fused_eligible(h, w, n_superpixels):
+    eligible = slic_fused_eligible(h, w, n_superpixels)
+    use_fused = impl == "fused" or (
+        impl == "auto" and jax.default_backend() == "tpu" and eligible
+    )
+    if use_fused:
         return slic_fused(lab, n_superpixels, ruler, n_iter)
     return jax.vmap(lambda l: slic(l, n_superpixels, ruler, n_iter))(lab)
