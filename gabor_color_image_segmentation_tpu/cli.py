@@ -84,18 +84,26 @@ def cmd_run(args):
 
 
 def cmd_eval(args):
-    from gabor_color_image_segmentation_tpu.eval import evaluate, load_split
+    from gabor_color_image_segmentation_tpu.eval import (
+        evaluate,
+        evaluate_sweep,
+        load_split,
+    )
 
     cfg = _build_cfg(args)
     data = load_split(args.split, limit=args.limit)
-    summary = evaluate(
-        data,
-        cfg,
-        out_path=args.out,
-        resume=args.resume,
-        profile_dir=args.profile,
-        debug_nans=args.debug_nans,
-    )
+    if args.sweep_k:
+        ks = [int(k) for k in args.sweep_k.split(",")]
+        summary = evaluate_sweep(data, cfg, ks, out_path=args.out or "/tmp/gaborseg_sweep")
+    else:
+        summary = evaluate(
+            data,
+            cfg,
+            out_path=args.out,
+            resume=args.resume,
+            profile_dir=args.profile,
+            debug_nans=args.debug_nans,
+        )
     print(json.dumps(summary))
 
 
@@ -173,6 +181,12 @@ def main(argv=None):
     p_eval.add_argument("--resume", action="store_true")
     p_eval.add_argument("--profile", default=None, help="jax profiler trace dir")
     p_eval.add_argument("--debug-nans", action="store_true", help="jax_debug_nans")
+    p_eval.add_argument(
+        "--sweep-k",
+        default=None,
+        help="comma list of region/cluster counts; reports ODS/OIS-style "
+        "best-k aggregation (BSDS operating-point protocol analog)",
+    )
     p_eval.set_defaults(fn=cmd_eval)
 
     p_bench = sub.add_parser("bench", help="end-to-end throughput (one JSON line)")

@@ -129,6 +129,73 @@ class _NullCtx:
         return False
 
 
+def evaluate_sweep(
+    dataset,
+    cfg: PipelineConfig,
+    ks: Sequence[int],
+    out_path: Optional[str] = None,
+) -> dict:
+    """ODS/OIS-style aggregation over the segmentation scale parameter
+    (SURVEY.md §3.4): the BSDS benchmark reports the best operating point of
+    a detector's threshold sweep; the region-segmentation analog sweeps the
+    region count k. ODS = best single k over the whole split; OIS = best k
+    chosen per image.
+
+    Runs ``evaluate`` once per k (region count for the graph stage when
+    enabled, else cluster k) and aggregates PRI and boundary-F.
+    """
+    import dataclasses
+
+    items = list(dataset)
+    per_k: dict[int, List[dict]] = {}
+    for k in ks:
+        if cfg.graph.enabled:
+            cfg_k = cfg.replace(graph=dataclasses.replace(cfg.graph, n_regions=k))
+        else:
+            cfg_k = cfg.replace(cluster=dataclasses.replace(cfg.cluster, k=k))
+        path = f"{out_path}.k{k}.jsonl" if out_path else None
+        evaluate(items, cfg_k, out_path=path)
+        rows = []
+        if path:
+            with open(path) as f:
+                rows = [json.loads(line) for line in f]
+        else:  # re-run capturing rows (evaluate returns only the summary)
+            raise ValueError("evaluate_sweep requires out_path")
+        per_k[k] = rows
+
+    def agg(metric: str) -> dict:
+        means = {
+            k: float(np.mean([r[metric] for r in rows if r.get(metric) is not None]))
+            for k, rows in per_k.items()
+        }
+        ods_k = max(means, key=means.get)
+        # OIS: best k per image
+        n = len(per_k[ks[0]])
+        ois_vals = []
+        for i in range(n):
+            vals = [
+                per_k[k][i][metric]
+                for k in ks
+                if per_k[k][i].get(metric) is not None
+            ]
+            if vals:
+                ois_vals.append(max(vals))
+        return {
+            "ods_k": int(ods_k),
+            "ods": means[ods_k],
+            "ois": float(np.mean(ois_vals)) if ois_vals else None,
+            "per_k": {int(k): v for k, v in means.items()},
+        }
+
+    return {
+        "config": cfg.name,
+        "ks": [int(k) for k in ks],
+        "n_images": len(items),
+        "pri": agg("pri"),
+        "f_boundary": agg("f_boundary"),
+    }
+
+
 def load_split(
     split: str = "test",
     limit: Optional[int] = None,

@@ -52,3 +52,26 @@ def test_feature_cache(tmp_path):
     # different bank -> different fingerprint -> miss
     cfg2 = preset("config1")
     assert cache.get("img1", cfg2) is None
+
+
+def test_eval_sweep_ods_ois(tmp_path, tiny_mosaic):
+    """ODS/OIS-style k-sweep: per-k means, best fixed k (ODS), best-per-image
+    (OIS >= ODS by construction)."""
+    import json
+
+    from gabor_color_image_segmentation_tpu.config import preset
+    from gabor_color_image_segmentation_tpu.eval import evaluate_sweep
+
+    rgb, gt = tiny_mosaic
+    data = [("a", rgb, [gt]), ("b", rgb[:, ::-1].copy(), [gt[:, ::-1].copy()])]
+    cfg = preset("config0").replace(feature_impl="modulated")
+    out = str(tmp_path / "sweep")
+    s = evaluate_sweep(data, cfg, ks=[2, 3], out_path=out)
+    assert s["ks"] == [2, 3]
+    assert s["pri"]["ods_k"] in (2, 3)
+    assert s["pri"]["ois"] >= s["pri"]["ods"] - 1e-9
+    assert set(s["pri"]["per_k"]) == {2, 3}
+    # per-k jsonl side effects exist
+    for k in (2, 3):
+        rows = [json.loads(l) for l in open(f"{out}.k{k}.jsonl")]
+        assert len(rows) == 2
