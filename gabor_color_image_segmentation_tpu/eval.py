@@ -146,6 +146,8 @@ def evaluate_sweep(
     """
     import dataclasses
 
+    if not out_path:
+        raise ValueError("evaluate_sweep requires out_path (per-k jsonl files)")
     items = list(dataset)
     per_k: dict[int, List[dict]] = {}
     for k in ks:
@@ -153,15 +155,10 @@ def evaluate_sweep(
             cfg_k = cfg.replace(graph=dataclasses.replace(cfg.graph, n_regions=k))
         else:
             cfg_k = cfg.replace(cluster=dataclasses.replace(cfg.cluster, k=k))
-        path = f"{out_path}.k{k}.jsonl" if out_path else None
+        path = f"{out_path}.k{k}.jsonl"
         evaluate(items, cfg_k, out_path=path)
-        rows = []
-        if path:
-            with open(path) as f:
-                rows = [json.loads(line) for line in f]
-        else:  # re-run capturing rows (evaluate returns only the summary)
-            raise ValueError("evaluate_sweep requires out_path")
-        per_k[k] = rows
+        with open(path) as f:
+            per_k[k] = [json.loads(line) for line in f]
 
     def agg(metric: str) -> dict:
         means = {

@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from gabor_color_image_segmentation_tpu.ops.precision import (
+    precision_for as _precision_for,
+)
+
 
 def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
     """x: (N, D) -> (k, D) deterministic farthest-point centers.
@@ -70,11 +74,6 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
 
     centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
     return centers
-
-
-from gabor_color_image_segmentation_tpu.ops.precision import (
-    precision_for as _precision_for,
-)
 
 
 def _assign_scores(x: jnp.ndarray, centers: jnp.ndarray, dtype) -> jnp.ndarray:

@@ -68,11 +68,9 @@ def _lloyd_kernel(
     csq = jnp.sum(c * c, axis=1)  # (_K_PAD,)
     # f32 mode pins HIGHEST (Mosaic DEFAULT f32 dots round operands to bf16
     # — the precision-audit failure mode); bf16 mode stays DEFAULT-lossless
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if x.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
+
+    prec = precision_for(x.dtype)
     cross = jnp.dot(
         x, c.T.astype(x.dtype), preferred_element_type=jnp.float32,
         precision=prec,

@@ -99,13 +99,6 @@ def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
-def _dot_bf16(a, b, dims):
-    return jax.lax.dot_general(
-        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
-        preferred_element_type=jnp.float32,
-    )
-
-
 def _slic_kernel(
     zp_ref,  # (1, 3*_C, band_px) bf16 — PACKED pixels [z_hi; z_lo; z_hi]
     cand_ref,  # (1, 1, _CAND, _C) f32 — candidate centroids (weighted, ones-col)

@@ -36,16 +36,18 @@ def _lookup_kernel(idx_ref, table_ref, out_ref, *, s_pad: int):
     out_ref[0, 0] = vals.astype(jnp.int32).reshape(8, -1)
 
 
-@functools.partial(jax.jit, static_argnums=())
+@jax.jit
 def _lookup_tpu(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     b, n = idx.shape
     s = table.shape[1]
     s_pad = max(128, -(-s // 128) * 128)
     n_pad = -(-n // _BLOCK) * _BLOCK
     nb = n_pad // _BLOCK
-    idx_p = jnp.zeros((b, nb, 8, _BLOCK // 8), jnp.int32)
-    idx_p = idx_p.reshape(b, n_pad).at[:, :n].set(idx).reshape(
-        b, nb, 8, _BLOCK // 8
+    idx_p = (
+        jnp.zeros((b, n_pad), jnp.int32)
+        .at[:, :n]
+        .set(idx)
+        .reshape(b, nb, 8, _BLOCK // 8)
     )
     table_p = jnp.zeros((b, 1, s_pad), jnp.float32).at[:, 0, :s].set(
         table.astype(jnp.float32)
