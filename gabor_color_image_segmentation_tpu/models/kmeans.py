@@ -189,28 +189,35 @@ def kmeans_batch(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched per-image k-means: (B, N, D) -> ((B, N) labels, (B, k, D)).
 
-    The vmapped XLA solver is production on every backend: the Lloyd loop is
-    at the MXU's 128-lane padding floor, and the fused single-pass Pallas
-    kernel (models/kmeans_pallas.py) measured 2x SLOWER (its masked-VPU
-    update is instruction-bound — see that module's STATUS note). Flip
-    use_fused to re-evaluate on future hardware; scores / tie-breaks / init
-    are identical either way."""
-    use_fused = False and jax.default_backend() == "tpu" and k <= 8
-    if use_fused:
+    On TPU (k <= 8, BSDS-scale N) the transposed fused Pallas Lloyd kernel
+    (models/kmeans_pallas.py::kmeans_fused_t, v3) is production: both Lloyd
+    matmuls keep k on the 8-sublane axis, so an iteration costs one HBM pass
+    over x (1.42 ms/batch-16 bf16 at D=243) instead of the XLA path's two
+    128-lane-padded MXU passes (3.42 ms). Labels/centers match the XLA
+    solver exactly (same seeds, scores, tie-breaks; measured agreement
+    1.0000 — experiments/exp_lloyd_t.py). The XLA path remains production
+    elsewhere and for large-N images (the transposed copy would pad D to the
+    sublane tile across 8M+ pixels; config4's distributed Lloyd has its own
+    psum solver). The v1/v2 fused kernels (kmeans_fused) stay as documented
+    dead ends — see the STATUS note in kmeans_pallas.py."""
+    fit_view = x if subsample == 1 else x[:, ::subsample]
+    use_fused_t = (
+        jax.default_backend() == "tpu"
+        and k <= 8
+        and fit_view.shape[1] <= 2_000_000
+    )
+    if use_fused_t:
         from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
-            kmeans_fused,
+            kmeans_fused_t,
         )
 
         if subsample == 1:
-            return kmeans_fused(x, k, n_iter, dtype, init_stride)
-        _, centers = kmeans_fused(
-            x[:, ::subsample], k, n_iter, dtype, init_stride
-        )
+            return kmeans_fused_t(x, k, n_iter, dtype, init_stride)
+        _, centers = kmeans_fused_t(fit_view, k, n_iter, dtype, init_stride)
         labels = jax.vmap(
             lambda f, c: jnp.argmin(_assign_scores(f.astype(dtype), c, dtype), axis=1)
         )(x, centers).astype(jnp.int32)
         return labels, centers
-    fit_view = x if subsample == 1 else x[:, ::subsample]
     centers0 = None
     if fit_view.shape[1] > 1_000_000:
         # large images: the vmapped init would materialize a lane-padded

@@ -8,13 +8,25 @@ x ONCE per iteration and replaces the padded update matmul with k masked
 VPU reductions over the VMEM-resident block (real FLOPs: k*N*D, not
 128*N*D).
 
-STATUS (measured 2026-08-16, v5 lite, batch 16 x (154401, 243) bf16, early
-exit in both paths): fused 49 ms vs plain-XLA 23 ms real. The masked-VPU
-update is INSTRUCTION-bound, not FLOP-bound: 5 masked where+add reduction
-chains over (8192, 256) blocks issue ~6M VPU instructions per iteration —
-slower than the padded MXU matmul they replace. The plain XLA solver stays
-production (models/kmeans.py::kmeans_batch); interpret-mode parity tests
-keep this kernel honest for future-hardware re-evaluation.
+STATUS (measured 2026-08-16, v5 lite, batch 16 x (154401, 243), 24 fixed
+iterations, experiments/exp_lloyd_t_iter.py):
+
+  * v2 (kmeans_fused, masked-VPU update): 49 ms vs plain-XLA 23 ms real —
+    INSTRUCTION-bound, not FLOP-bound: 5 masked where+add reduction chains
+    over (8192, 256) blocks issue ~6M VPU instructions per iteration.
+    Kept as a documented dead end with interpret-mode parity tests.
+  * v3 (kmeans_fused_t, transposed layout): 1.42 ms/iter bf16 vs XLA's
+    3.42 (2.4x), 4.03 vs 6.85 f32 (1.7x) — at the HBM floor (one 1.27 GB
+    pass over x per iteration at ~890 GB/s). PRODUCTION on TPU for k <= 8
+    (dispatched from models/kmeans.py::kmeans_batch). Label agreement vs
+    the XLA solver: 1.000000 (both dtypes).
+
+The v3 fix over v1/v2: keep k on the 8-SUBLANE axis in BOTH matmuls —
+assignment as (8, Dp) @ (Dp, block) and the update as a dot_general that
+contracts the LANE axes ((8, block) x (Dp, block) -> (8, Dp), the Q@K^T
+form the MXU runs natively) — so neither pays the 128-lane padding for
+k=5, the update never touches the VPU, and each iteration streams x once
+with fully pipelined grid steps.
 
 Design notes (v2 — the v1 failure is instructive):
   * v1 accumulated (sums, counts) into the SAME output block on every grid
@@ -155,6 +167,219 @@ def _block_for(n: int) -> int:
         if blk <= n:
             return blk
     return 8
+
+
+def _lloyd_t_kernel(
+    xt_ref,  # (1, Dp, block) mm dtype, transposed features; row D is ones
+    c_ref,  # (1, _K_PAD, Dp) f32 centers (ones-row entry zeroed)
+    labels_ref,  # (1, 1, 1, block) int32 (lane-major, singleton sublane)
+    psums_ref,  # (1, 1, _K_PAD, Dp) f32 per-block partial sums
+    *,
+    k: int,
+    block: int,
+    n_rows: int,
+):
+    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
+
+    i = pl.program_id(1)
+    xt = xt_ref[0]  # (Dp, block)
+    c = c_ref[0]  # (_K_PAD, Dp) f32
+    prec = precision_for(xt.dtype)
+    csq = jnp.sum(c * c, axis=1, keepdims=True)  # (_K_PAD, 1)
+    # assignment scores with k on SUBLANES: (8, Dp) @ (Dp, block) -> (8, block)
+    cross = jax.lax.dot_general(
+        c.astype(xt.dtype), xt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    scores = csq - 2.0 * cross  # (_K_PAD, block) f32
+    sub = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    scores = jnp.where(sub < k, scores, jnp.float32(3.4e38))
+    labels = jnp.argmin(scores, axis=0, keepdims=True).astype(jnp.int32)  # (1, block)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    valid = (col + i * block) < n_rows  # padded pixels get no vote
+    onehot = ((sub == labels) & valid & (sub < k)).astype(xt.dtype)  # (_K_PAD, block)
+    # update with k on SUBLANES: contract the LANE axes (the Q @ K^T form the
+    # MXU handles natively) -> (8, Dp); ones-row of xt doubles as the count
+    psums_ref[0, 0] = jax.lax.dot_general(
+        onehot, xt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    labels_ref[0, 0] = labels
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _lloyd_t_pass(xt, centers_pad, k: int, block: int, n_rows: int, interpret: bool):
+    """One fused assignment+accumulate pass, transposed layout.
+
+    xt: (B, Dp, Np) with a ones-row at index D; centers_pad: (B, _K_PAD, Dp)
+    f32 with the ones-row entry zeroed (so it never shifts scores). Returns
+    (labels (B, Np) int32, sums (B, _K_PAD, Dp) f32); sums[..., D] = counts.
+    """
+    b, dp, n_pad = xt.shape
+    nb = n_pad // block
+    kernel = functools.partial(_lloyd_t_kernel, k=k, block=block, n_rows=n_rows)
+    labels, psums = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, dp, block), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _K_PAD, dp), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, block), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _K_PAD, dp), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nb, 1, block), jnp.int32),
+            jax.ShapeDtypeStruct((b, nb, _K_PAD, dp), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * n_pad * dp * _K_PAD),
+            bytes_accessed=int(xt.dtype.itemsize * b * n_pad * dp),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xt, centers_pad)
+    return labels.reshape(b, n_pad), jnp.sum(psums, axis=1)
+
+
+def _block_for_t(n: int, dp: int, itemsize: int) -> int:
+    """Lane-block size: ~2 MB of streamed x per grid step, so small-D shapes
+    (config0's dp=48) get wide blocks — a fixed 2048 there means thousands of
+    overhead-dominated grid steps per pass (measured: config0 62 -> 48 MP/s
+    e2e). Power of two, >= 128 lanes, no wider than the padded pixel count."""
+    target = max(128, (2 * 1024 * 1024) // (dp * itemsize))
+    blk = min(1 << (target.bit_length() - 1), 32768)
+    while blk > 128 and blk // 2 >= n:
+        blk //= 2
+    return blk
+
+
+def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.ndarray:
+    """Transposed-layout maximin seeding: xt (B, Dp, Np) -> (B, k, Dp) f32.
+
+    Same math as models.kmeans.maximin_init, but every distance pass is a
+    batched (1, Dp) @ (Dp, N) matvec with the OUTPUT on lanes — the row-major
+    form pays the 128-lane padding on its (N, Dp) @ (Dp, 1) matvec instead
+    (measured 2.4 ms/pass vs the ~1.5 ms HBM floor at config1 scale).
+
+    Distances are computed on the EXTENDED vectors verbatim: the ones-row
+    contributes +1 (|x|^2) - 2 (x.c) + 1 (|c|^2) = 0, so they equal the true
+    feature-space distances exactly; zero-padded rows contribute nothing.
+    Padded/invalid columns are masked to -inf so they never seed.
+    """
+    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
+
+    b, dp, n_pad = xt.shape
+    view = xt[:, :, ::stride] if stride > 1 else xt
+    nv = view.shape[2]
+    n_real = -(-n // stride)  # real (strided) pixels are a prefix of columns
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1) < n_real
+    xsq = jnp.sum(jnp.square(view.astype(jnp.float32)), axis=1)  # (B, nv)
+    prec = precision_for(view.dtype)
+
+    def dist_to(c):  # c: (B, dp) view dtype -> (B, nv) f32, -inf off the end
+        cf = c.astype(jnp.float32)
+        cross = jax.lax.dot_general(
+            c[:, None, :], view,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        )[:, 0, :]
+        d2 = xsq - 2.0 * cross + jnp.sum(cf * cf, axis=1, keepdims=True)
+        return jnp.where(valid, d2, -jnp.inf)
+
+    def col_at(idx):  # (B,) int -> (B, dp) gather of one column per image
+        return jnp.take_along_axis(view, idx[:, None, None], axis=2)[..., 0]
+
+    mean = (jnp.sum(view, axis=2, dtype=jnp.float32) / n_real).astype(view.dtype)
+    c0 = col_at(jnp.argmax(dist_to(mean), axis=1))
+    centers = jnp.zeros((b, k, dp), view.dtype)
+    centers = centers.at[:, 0].set(c0)
+    dmin = dist_to(c0)
+
+    def body(i, carry):
+        centers, dmin = carry
+        c = col_at(jnp.argmax(dmin, axis=1))
+        centers = centers.at[:, i].set(c)
+        dmin = jnp.minimum(dmin, dist_to(c))
+        return centers, dmin
+
+    centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
+    return centers.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def kmeans_fused_t(
+    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32, init_stride: int = 1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v3 fused Lloyd: transposed (D, N) layout, k on the 8-sublane axis.
+
+    Fixes both prior failure modes (see module STATUS): like v2 the grid
+    steps are independent (partial sums, full DMA pipelining), but the update
+    is an MXU ``dot_general`` contracting the lane axes instead of v2's
+    instruction-bound masked-VPU reduction — so NEITHER matmul pays the
+    128-lane padding for k=5, and each iteration streams x once.
+
+    x: (B, N, D) -> (labels (B, N) int32, centers (B, k, D) f32). Requires
+    k <= _K_PAD. Seeds/scores/tie-breaks match models.kmeans.kmeans.
+    """
+    if x.ndim == 2:
+        labels, centers = kmeans_fused_t(x[None], k, n_iter, dtype, init_stride)
+        return labels[0], centers[0]
+    if k > _K_PAD:
+        raise ValueError(f"fused Lloyd supports k <= {_K_PAD}, got {k}")
+    b, n, d = x.shape
+    # D only pads to sublane granularity (psums' lane dim may equal the array
+    # dim) — a 128-multiple here would lane-pad the whole feature copy 3x at
+    # D=40 (the config0/config4 shape; see kmeans_batch's memory note)
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    dp = -(-(d + 1) // sub) * sub
+    block = _block_for_t(n, dp, jnp.dtype(dtype).itemsize)
+    n_pad = -(-n // block) * block
+    x_mm = x.astype(dtype)
+    # transposed layout with a ones-row at index d (count accumulator), built
+    # once per solve; every Lloyd pass then streams it a single time
+    xt = jnp.zeros((b, dp, n_pad), dtype)
+    xt = xt.at[:, :d, :n].set(jnp.swapaxes(x_mm, 1, 2))
+    xt = xt.at[:, d, :n].set(1.0)
+    centers0 = _maximin_init_t(xt, k, n, init_stride)  # (B, k, dp) f32
+    cpad = jnp.zeros((b, _K_PAD, dp), jnp.float32).at[:, :k].set(centers0)
+    cpad = cpad.at[:, :, d].set(0.0)  # ones-row entry never enters scores
+    interpret = jax.default_backend() != "tpu"
+
+    def update(centers_pad):
+        labels, sums = _lloyd_t_pass(xt, centers_pad, k, block, n, interpret)
+        counts = sums[:, :, d]
+        new = sums / jnp.maximum(counts, 1.0)[:, :, None]
+        new = new.at[:, :, d].set(0.0)  # keep the ones-row entry out of scores
+        new = jnp.where(counts[:, :, None] > 0, new, centers_pad)
+        return labels, new
+
+    def cond(carry):
+        _, _, _, go = carry
+        return go
+
+    def body(carry):
+        t, centers_pad, _, _ = carry
+        labels, upd = update(centers_pad)
+        new = jnp.where(t < n_iter, upd, centers_pad)
+        return t + 1, new, labels, jnp.any(new != centers_pad)
+
+    labels0 = jnp.zeros((b, n_pad), jnp.int32)
+    _, centers_pad, labels, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), cpad, labels0, True)
+    )
+    return labels[:, :n], centers_pad[:, :k, :d]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))

@@ -96,3 +96,34 @@ def test_fused_pallas_batched(rng):
         np.testing.assert_allclose(
             np.asarray(c_fused[i]), np.asarray(c_plain), atol=1e-3
         )
+
+
+def test_fused_t_matches_plain(rng):
+    """Interpret-mode v3 (transposed-layout) fused Lloyd == plain XLA kmeans."""
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_fused_t,
+    )
+
+    x, _ = _blobs(rng, n=3000, k=5, d=16)
+    l_plain, c_plain = kmeans(x, 5, 15)
+    l_fused, c_fused = kmeans_fused_t(x, 5, 15)
+    assert (np.asarray(l_plain) == np.asarray(l_fused)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(c_plain), np.asarray(c_fused), atol=1e-3)
+
+
+def test_fused_t_batched(rng):
+    """Batched v3 fused Lloyd == per-image XLA kmeans, image by image."""
+    import jax
+
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_fused_t,
+    )
+
+    xs = np.stack([_blobs(rng, n=1500, k=3, d=7)[0] for _ in range(3)])
+    l_fused, c_fused = kmeans_fused_t(jax.numpy.asarray(xs), 3, 12)
+    for i in range(3):
+        l_plain, c_plain = kmeans(xs[i], 3, 12)
+        assert (np.asarray(l_fused[i]) == np.asarray(l_plain)).mean() > 0.999
+        np.testing.assert_allclose(
+            np.asarray(c_fused[i]), np.asarray(c_plain), atol=1e-3
+        )
