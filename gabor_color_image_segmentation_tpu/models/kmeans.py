@@ -72,7 +72,11 @@ def maximin_init(x: jnp.ndarray, k: int, stride: int = 1) -> jnp.ndarray:
         dmin = jnp.minimum(dmin, dist_to(c))
         return centers, dmin
 
-    centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
+    # the last center needs only argmax(dmin) — updating dmin for it would be
+    # a full wasted pass over x (one of k+1, ~1.4 ms at config1 scale)
+    centers, dmin = lax.fori_loop(1, k - 1, body, (centers, dmin))
+    if k > 1:
+        centers = centers.at[k - 1].set(x[jnp.argmax(dmin)])
     return centers
 
 
@@ -204,7 +208,10 @@ def kmeans_batch(
     use_fused_t = (
         jax.default_backend() == "tpu"
         and k <= 8
-        and fit_view.shape[1] <= 2_000_000
+        # pixel-scale problems only: tiny N (e.g. the spectral-discretize
+        # k-means over ~300 superpixel rows) is kernel-launch-dominated, and
+        # huge N (4K images) would sublane-pad the transposed feature copy
+        and 4096 <= fit_view.shape[1] <= 2_000_000
     )
     if use_fused_t:
         from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (

@@ -60,6 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gabor_color_image_segmentation_tpu.models.kmeans import maximin_init
+from gabor_color_image_segmentation_tpu.ops.precision import precision_for
 
 _K_PAD = 8  # center count padded to one sublane tile; fused path needs k <= 8
 
@@ -80,8 +81,6 @@ def _lloyd_kernel(
     csq = jnp.sum(c * c, axis=1)  # (_K_PAD,)
     # f32 mode pins HIGHEST (Mosaic DEFAULT f32 dots round operands to bf16
     # — the precision-audit failure mode); bf16 mode stays DEFAULT-lossless
-    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
-
     prec = precision_for(x.dtype)
     cross = jnp.dot(
         x, c.T.astype(x.dtype), preferred_element_type=jnp.float32,
@@ -179,8 +178,6 @@ def _lloyd_t_kernel(
     block: int,
     n_rows: int,
 ):
-    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
-
     i = pl.program_id(1)
     xt = xt_ref[0]  # (Dp, block)
     c = c_ref[0]  # (_K_PAD, Dp) f32
@@ -265,6 +262,129 @@ def _block_for_t(n: int, dp: int, itemsize: int) -> int:
     return blk
 
 
+def _maximin_kernel(
+    xt_ref,  # (1, dp, block) mm dtype
+    c_ref,  # (1, 8, dp) f32; row 0 = probe center (extended, ones-entry set)
+    dmin_ref,  # (1, 1, block) f32 running min-distance (ignored when reset)
+    dmin_out_ref,  # (1, 1, block) f32
+    best_ref,  # (1, 1, 8, dp) f32; row 0 = this block's argmax column
+    bestv_ref,  # (1, 1, 1, 1) f32; this block's max value
+    *,
+    reset: bool,
+    block: int,
+    n_valid: int,
+):
+    i = pl.program_id(1)
+    xt = xt_ref[0]  # (dp, block)
+    c = c_ref[0]  # (8, dp) f32, rows 1..7 zero
+    prec = precision_for(xt.dtype)
+    csq = jnp.sum(c[0:1] * c[0:1])
+    xsq = jnp.sum(jnp.square(xt.astype(jnp.float32)), axis=0, keepdims=True)
+    cross = jax.lax.dot_general(
+        c.astype(xt.dtype), xt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (8, block)
+    d2 = xsq - 2.0 * cross[0:1] + csq  # (1, block)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    valid = (col + i * block) < n_valid
+    d2 = jnp.where(valid, d2, -jnp.inf)
+    dmin_new = d2 if reset else jnp.minimum(dmin_ref[0], d2)
+    dmin_out_ref[0] = dmin_new
+    j = jnp.argmax(dmin_new, axis=1, keepdims=True)  # (1, 1)
+    onehot = jnp.where(
+        (col == j)
+        & (jax.lax.broadcasted_iota(jnp.int32, (8, block), 0) == 0),
+        1.0, 0.0,
+    ).astype(xt.dtype)  # (8, block), single 1 at (0, j)
+    best_ref[0, 0] = jax.lax.dot_general(
+        onehot, xt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (8, dp): row 0 = column j of xt
+    bestv_ref[0, 0] = jnp.max(dmin_new, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _maximin_pass(xt, c, dmin, reset: bool, block: int, n_valid: int,
+                  interpret: bool):
+    """One fused maximin step: dist to c, running min, per-block argmax column.
+
+    xt: (B, dp, Np); c: (B, 8, dp) f32 row 0 = probe; dmin: (B, Np) f32.
+    Returns (dmin_out (B, Np) f32, next_center (B, dp) f32) where next_center
+    is the column of xt at the global argmax of dmin_out — selected from tiny
+    per-block partials, never via a lane-gather of the full array (XLA's
+    dynamic column gather measured ~5 ms at config1 scale)."""
+    b, dp, n_pad = xt.shape
+    nb = n_pad // block
+    kernel = functools.partial(
+        _maximin_kernel, reset=reset, block=block, n_valid=n_valid
+    )
+    dmin_out, best, bestv = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, dp, block), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, dp), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, dp), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 8, dp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 1, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(6 * b * n_pad * dp),
+            bytes_accessed=int(xt.dtype.itemsize * b * n_pad * dp),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xt, c, dmin[:, None, :])
+    bi = jnp.argmax(bestv[:, :, 0, 0], axis=1)  # (B,) winning block
+    nxt = jnp.take_along_axis(
+        best[:, :, 0, :], bi[:, None, None], axis=1
+    )[:, 0]  # (B, dp) f32
+    return dmin_out[:, 0, :], nxt
+
+
+def _maximin_init_t_fused(
+    xt: jnp.ndarray, k: int, n: int, block: int, interpret: bool
+) -> jnp.ndarray:
+    """Pallas maximin seeding on the transposed layout (stride-1 only).
+
+    Same seed sequence as _maximin_init_t / models.kmeans.maximin_init: probe
+    the extended mean, then farthest-point steps on the f32 running min. Each
+    step is ONE fused HBM pass; the XLA form measured ~2x slower inside the
+    composed solver program (scheduling + full-array column gathers).
+    """
+    b, dp, n_pad = xt.shape
+    mean = (jnp.sum(xt, axis=2, dtype=jnp.float32) / n)  # (B, dp) f32
+    centers = jnp.zeros((b, k, dp), jnp.float32)
+    dmin = jnp.zeros((b, n_pad), jnp.float32)
+    c = mean
+    for step in range(k):
+        cpad8 = jnp.zeros((b, 8, dp), jnp.float32).at[:, 0].set(c)
+        dmin, c = _maximin_pass(
+            xt, cpad8, dmin, step < 2, block, n, interpret
+        )
+        centers = centers.at[:, step].set(c)
+    return centers
+
+
 def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.ndarray:
     """Transposed-layout maximin seeding: xt (B, Dp, Np) -> (B, k, Dp) f32.
 
@@ -278,23 +398,22 @@ def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.nda
     feature-space distances exactly; zero-padded rows contribute nothing.
     Padded/invalid columns are masked to -inf so they never seed.
     """
-    from gabor_color_image_segmentation_tpu.ops.precision import precision_for
-
     b, dp, n_pad = xt.shape
     view = xt[:, :, ::stride] if stride > 1 else xt
     nv = view.shape[2]
     n_real = -(-n // stride)  # real (strided) pixels are a prefix of columns
     valid = jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1) < n_real
     xsq = jnp.sum(jnp.square(view.astype(jnp.float32)), axis=1)  # (B, nv)
-    prec = precision_for(view.dtype)
 
     def dist_to(c):  # c: (B, dp) view dtype -> (B, nv) f32, -inf off the end
+        # VPU broadcast-multiply-reduce, NOT a matvec: an M=1 dot_general is
+        # MXU weight-load-bound (each 128x128 xt tile loads for one row of
+        # output — measured ~3x the HBM floor per pass inside the composed
+        # program); the elementwise form streams xt once at memory speed.
+        # f32 products of bf16 operands are exact, so bf16 mode matches the
+        # MXU scores up to summation order.
         cf = c.astype(jnp.float32)
-        cross = jax.lax.dot_general(
-            c[:, None, :], view,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec,
-        )[:, 0, :]
+        cross = jnp.sum(view.astype(jnp.float32) * cf[:, :, None], axis=1)
         d2 = xsq - 2.0 * cross + jnp.sum(cf * cf, axis=1, keepdims=True)
         return jnp.where(valid, d2, -jnp.inf)
 
@@ -314,7 +433,10 @@ def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.nda
         dmin = jnp.minimum(dmin, dist_to(c))
         return centers, dmin
 
-    centers, _ = lax.fori_loop(1, k, body, (centers, dmin))
+    # last center: argmax only — its dmin update is a wasted full pass
+    centers, dmin = lax.fori_loop(1, k - 1, body, (centers, dmin))
+    if k > 1:
+        centers = centers.at[:, k - 1].set(col_at(jnp.argmax(dmin, axis=1)))
     return centers.astype(jnp.float32)
 
 
@@ -352,10 +474,16 @@ def kmeans_fused_t(
     xt = jnp.zeros((b, dp, n_pad), dtype)
     xt = xt.at[:, :d, :n].set(jnp.swapaxes(x_mm, 1, 2))
     xt = xt.at[:, d, :n].set(1.0)
-    centers0 = _maximin_init_t(xt, k, n, init_stride)  # (B, k, dp) f32
+    interpret = jax.default_backend() != "tpu"
+    if init_stride == 1:
+        # fused Pallas seeding: one HBM pass per seed, per-block argmax
+        # columns instead of full-array gathers (the XLA form measured ~2x
+        # slower inside the composed solver program)
+        centers0 = _maximin_init_t_fused(xt, k, n, block, interpret)
+    else:
+        centers0 = _maximin_init_t(xt, k, n, init_stride)  # (B, k, dp) f32
     cpad = jnp.zeros((b, _K_PAD, dp), jnp.float32).at[:, :k].set(centers0)
     cpad = cpad.at[:, :, d].set(0.0)  # ones-row entry never enters scores
-    interpret = jax.default_backend() != "tpu"
 
     def update(centers_pad):
         labels, sums = _lloyd_t_pass(xt, centers_pad, k, block, n, interpret)
