@@ -53,7 +53,12 @@ def bench_device(cfg, batch: np.ndarray, iters: int) -> float:
     @jax.jit
     def run(b):
         def body(i, acc):
-            labels, _ = segment_batch(b + i.astype(b.dtype), cfg, bank)
+            # labels-only: the kmeans pipeline takes the transposed fast
+            # path on TPU (no NHWC feature tensor); other configs are
+            # unchanged (feats were already dead-code-eliminated here)
+            labels, _ = segment_batch(
+                b + i.astype(b.dtype), cfg, bank, False
+            )
             return acc + jnp.sum(labels)
 
         return jax.lax.fori_loop(0, iters, body, jnp.int32(0))

@@ -250,6 +250,18 @@ def _lloyd_t_pass(xt, centers_pad, k: int, block: int, n_rows: int, interpret: b
     return labels.reshape(b, n_pad), jnp.sum(psums, axis=1)
 
 
+def xt_geometry(n: int, d: int, dtype):
+    """Padded geometry of the transposed solver layout for (n pixels, d dims):
+    returns (dp, n_pad, block). dp = d + 1 (ones-row) padded to the sublane
+    tile; n_pad = lane-block multiple. Shared by kmeans_fused_t and the
+    transposed feature-assembly fast path so both build identical buffers."""
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    dp = -(-(d + 1) // sub) * sub
+    block = _block_for_t(n, dp, jnp.dtype(dtype).itemsize)
+    n_pad = -(-n // block) * block
+    return dp, n_pad, block
+
+
 def _block_for_t(n: int, dp: int, itemsize: int) -> int:
     """Lane-block size: ~2 MB of streamed x per grid step, so small-D shapes
     (config0's dp=48) get wide blocks — a fixed 2048 there means thousands of
@@ -458,22 +470,38 @@ def kmeans_fused_t(
     if x.ndim == 2:
         labels, centers = kmeans_fused_t(x[None], k, n_iter, dtype, init_stride)
         return labels[0], centers[0]
-    if k > _K_PAD:
-        raise ValueError(f"fused Lloyd supports k <= {_K_PAD}, got {k}")
     b, n, d = x.shape
     # D only pads to sublane granularity (psums' lane dim may equal the array
     # dim) — a 128-multiple here would lane-pad the whole feature copy 3x at
     # D=40 (the config0/config4 shape; see kmeans_batch's memory note)
-    sub = 16 if dtype == jnp.bfloat16 else 8
-    dp = -(-(d + 1) // sub) * sub
-    block = _block_for_t(n, dp, jnp.dtype(dtype).itemsize)
-    n_pad = -(-n // block) * block
+    dp, n_pad, _ = xt_geometry(n, d, dtype)
     x_mm = x.astype(dtype)
     # transposed layout with a ones-row at index d (count accumulator), built
     # once per solve; every Lloyd pass then streams it a single time
     xt = jnp.zeros((b, dp, n_pad), dtype)
     xt = xt.at[:, :d, :n].set(jnp.swapaxes(x_mm, 1, 2))
     xt = xt.at[:, d, :n].set(1.0)
+    return kmeans_fused_t_xt(xt, k, d, n, n_iter, init_stride)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def kmeans_fused_t_xt(
+    xt: jnp.ndarray, k: int, d: int, n: int, n_iter: int = 25,
+    init_stride: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve on a pre-built transposed buffer (xt_geometry layout).
+
+    xt: (B, dp, n_pad) with real features in rows [:d], a ones-row at index
+    d, zero padding elsewhere (see kmeans_fused_t, which builds it from
+    (B, N, D); the transposed-assembly fast path in ops/features.py writes
+    it directly from the feature kernel's channel-major output). Returns
+    (labels (B, n) int32, centers (B, k, d) f32)."""
+    if k > _K_PAD:
+        raise ValueError(f"fused Lloyd supports k <= {_K_PAD}, got {k}")
+    b, dp, n_pad = xt.shape
+    block = _block_for_t(n, dp, jnp.dtype(xt.dtype).itemsize)
+    if n_pad % block:
+        raise ValueError(f"xt lane dim {n_pad} not a multiple of block {block}")
     interpret = jax.default_backend() != "tpu"
     if init_stride == 1:
         # fused Pallas seeding: one HBM pass per seed, per-block argmax

@@ -77,16 +77,79 @@ def compute_features(
     return assemble_features(energies, color, cfg.cluster)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def segment_batch(
+def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
+    """The transposed fast path applies to the plain-kmeans pipeline on TPU:
+    channel-major fused energies -> transposed assembly -> kmeans_fused_t_xt,
+    skipping three full-tensor layout round-trips. Falls back whenever the
+    NHWC feature tensor is needed anyway (graph stage, non-kmeans, tiling,
+    non-fused feature impl, turbo subsample, or off-TPU)."""
+    n = h * w
+    return (
+        jax.default_backend() == "tpu"
+        and cfg.cluster.method == "kmeans"
+        and not cfg.graph.enabled
+        and cfg.cluster.k <= 8
+        and cfg.cluster.subsample == 1
+        and 4096 <= n <= 2_000_000
+        and cfg.bank.gamma == 1.0
+        and cfg.feature_impl in ("auto", "pallas")
+        and (cfg.tile_hw is None or (h <= cfg.tile_hw[0] and w <= cfg.tile_hw[1]))
+    )
+
+
+def _segment_batch_transposed(
     rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
+) -> jnp.ndarray:
+    """Labels-only kmeans pipeline in the transposed layout (see
+    _can_segment_transposed). Same stages/math as the NHWC path; moments and
+    matmuls reduce in a different layout, so borderline pixels may flip
+    within float tolerance (tests pin >=99.9% agreement)."""
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_fused_t_xt,
+        xt_geometry,
+    )
+    from gabor_color_image_segmentation_tpu.ops.features import (
+        assemble_features_t,
+    )
+    from gabor_color_image_segmentation_tpu.ops.fused_pallas import (
+        gabor_energies_fused,
+    )
+
+    b, h, w, _ = rgb.shape
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    with jax.named_scope("features"):
+        color = _color_transform(rgb, cfg.color_space)
+        energies_cm = gabor_energies_fused(color, bank, dtype, channel_major=True)
+    e = energies_cm.shape[1]
+    dp, n_pad, _ = xt_geometry(h * w, e + 3, dtype)
+    with jax.named_scope("assemble"):
+        xt = assemble_features_t(energies_cm, color, cfg.cluster, dp, n_pad)
+    with jax.named_scope("cluster"):
+        labels, _ = kmeans_fused_t_xt(
+            xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
+            cfg.cluster.init_stride,
+        )
+    return labels.reshape(b, h, w).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def segment_batch(
+    rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
+    with_features: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B,H,W,3) sRGB -> ((B,H,W) int32 labels, (B,H,W,D) features).
 
     Per-image clustering vmaps the solver over the batch. The graph stage
     (SLIC + n-cut), when enabled, refines the label maps (models/graph.py).
+
+    with_features=False returns (labels, None) and lets the kmeans pipeline
+    run the transposed fast path on TPU (no NHWC feature tensor ever
+    materializes — see _segment_batch_transposed); production serving wants
+    label maps, not 243-dim per-pixel features.
     """
     b, h, w, _ = rgb.shape
+    if not with_features and _can_segment_transposed(cfg, h, w):
+        return _segment_batch_transposed(rgb, cfg, bank), None
     with jax.named_scope("features"):
         feats = compute_features(rgb, cfg, bank)
     d = feats.shape[-1]
@@ -128,7 +191,7 @@ def segment_batch(
 
         with jax.named_scope("graph_cut"):
             labels = graph_segment_batch(feats, _color_transform(rgb, "lab"), cfg)
-    return labels, feats
+    return labels, (feats if with_features else None)
 
 
 def segment_image(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None):

@@ -175,6 +175,57 @@ def assemble_features(
     return (feats.astype(jnp.float32) * scale).astype(out_dtype)
 
 
+def assemble_features_t(
+    energies_cm: jnp.ndarray,
+    color: jnp.ndarray,
+    cluster_cfg: ClusterConfig,
+    dp: int,
+    n_pad: int,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Transposed assembly: channel-major energies -> solver-ready ``xt``.
+
+    energies_cm: (B, E, H, W) — the fused kernel's native layout
+    (``gabor_energies_fused(..., channel_major=True)``); color: (B, H, W, 3).
+    Returns (B, dp, n_pad) in the ``xt_geometry`` layout of
+    models/kmeans_pallas.py: rows [:E] standardized energies, rows [E:E+3]
+    scaled color, row E+3 ones, zero padding elsewhere.
+
+    Same math as ``assemble_features`` (one-pass f32 moments, sqrt(E/3)
+    color balance); only the reduction layout differs, so borderline pixels
+    may flip vs the NHWC path within float tolerance. Skips the kernel-exit
+    NHWC transpose, the NHWC feature write AND the solver's transposed
+    rebuild — three full-tensor HBM round-trips at config1 scale.
+    """
+    b, e, h, w = energies_cm.shape
+    n = h * w
+    d = e + 3
+    out_dtype = (
+        energies_cm.dtype if energies_cm.dtype == jnp.bfloat16 else jnp.float32
+    )
+    color_cm = jnp.transpose(color.astype(out_dtype), (0, 3, 1, 2))
+    feats_t = jnp.concatenate(
+        [energies_cm.astype(out_dtype), color_cm], axis=1
+    ).reshape(b, d, n)
+    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
+    scale = jnp.concatenate(
+        [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
+    )[None, :, None]
+    if cluster_cfg.normalize:
+        mean = jnp.mean(feats_t, axis=2, keepdims=True, dtype=jnp.float32)
+        sq = jnp.mean(
+            jnp.square(feats_t.astype(jnp.float32)), axis=2, keepdims=True
+        )
+        std = jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
+        norm = (feats_t.astype(jnp.float32) - mean) / (std + eps) * scale
+    else:
+        norm = feats_t.astype(jnp.float32) * scale
+    xt = jnp.zeros((b, dp, n_pad), out_dtype)
+    xt = xt.at[:, :d, :n].set(norm.astype(out_dtype))
+    xt = xt.at[:, d, :n].set(1.0)
+    return xt
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _features_jit(lab, bank, cluster_cfg, dtype):
     energies = gabor_energies(lab, bank, dtype)

@@ -164,12 +164,16 @@ def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
     return cs[:, :, :, ksize:] - cs[:, :, :, :-ksize]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _fused_group(
-    img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype
+    img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype,
+    channel_major: bool = False,
 ) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H, W, n_g*C) energies for one scale group in
-    contract order (kernel-major, channel-minor — features.py docstring)."""
+    contract order (kernel-major, channel-minor — features.py docstring).
+    channel_major=True returns (B, n_g*C, H, W) instead — the kernel's
+    native layout — skipping the NHWC transpose (the transposed clustering
+    path consumes this directly)."""
     b, h, w, c = img.shape
     n = len(group.kernel_indices)
     p = group.ksize // 2
@@ -280,17 +284,23 @@ def _fused_group(
     # channel-minor) along a flattened channel axis — only the channel-first
     # -> channel-last layout change remains
     out = out.reshape(b, n * c, h, w)
+    if channel_major:
+        return out
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def gabor_energies_fused(
-    img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32
+    img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32,
+    channel_major: bool = False,
 ) -> jnp.ndarray:
     """(B,H,W,C) -> (B,H,W,C*N) smoothed energies, contract order.
 
     Drop-in replacement for features.gabor_energies / modulated path.
+    channel_major=True returns (B, C*N, H, W) — same feature order along
+    axis 1, no NHWC transpose.
     """
     if bank.config.gamma != 1.0:
         raise ValueError("fused pallas path requires isotropic envelope gamma=1")
-    parts = [_fused_group(img, g, bank, dtype) for g in bank.groups]
-    return jnp.concatenate(parts, axis=-1)
+    parts = [_fused_group(img, g, bank, dtype, channel_major)
+             for g in bank.groups]
+    return jnp.concatenate(parts, axis=1 if channel_major else -1)

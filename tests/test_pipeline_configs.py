@@ -61,3 +61,36 @@ def test_mincut_variant(batch2):
     assert labels.shape == imgs.shape[:3]
     pris = [pri_np(labels[i], [gts[i]]) for i in range(2)]
     assert min(pris) > 0.75, pris
+
+
+def test_transposed_fast_path_matches_regular(batch2):
+    """Labels-only transposed pipeline (channel-major energies -> xt ->
+    fused solver) == regular NHWC path, modulo float-tolerance tie flips."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _segment_batch_transposed,
+    )
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    imgs, _ = batch2
+    cfg = preset("config0").replace(batch_size=2, feature_impl="pallas")
+    bank = make_bank(cfg.bank)
+    ref, _ = segment_batch(imgs, cfg, bank)
+    fast = _segment_batch_transposed(np.asarray(imgs), cfg, bank)
+    ref, fast = np.asarray(ref), np.asarray(fast)
+    assert fast.shape == ref.shape
+    for i in range(ref.shape[0]):
+        aligned = align_labels(fast[i], ref[i])
+        agree = (aligned == ref[i]).mean()
+        assert agree > 0.999, agree
+
+
+def test_segment_batch_without_features(batch2):
+    """with_features=False returns (labels, None); labels match the default
+    path on the CPU backend (fast path is TPU-gated)."""
+    imgs, _ = batch2
+    cfg = preset("config0").replace(batch_size=2)
+    bank = make_bank(cfg.bank)
+    ref, feats = segment_batch(imgs, cfg, bank)
+    lab, none = segment_batch(imgs, cfg, bank, False)
+    assert none is None and feats is not None
+    assert (np.asarray(lab) == np.asarray(ref)).all()
