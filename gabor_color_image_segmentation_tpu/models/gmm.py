@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gabor_color_image_segmentation_tpu.models.kmeans import kmeans
+from gabor_color_image_segmentation_tpu.ops.precision import precision_for
 
 _LOG2PI = 1.8378770664093453
 
@@ -41,11 +42,16 @@ def _m_step(x: jnp.ndarray, resp: jnp.ndarray, reg_covar: float) -> GMMParams:
     n, d = x.shape
     k = resp.shape[1]
     nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(resp.dtype).eps  # (k,)
-    means = jnp.dot(resp.T, x, preferred_element_type=jnp.float32) / nk[:, None]
+    # HIGHEST: TPU DEFAULT f32 dots bf16-round operands — measured driving
+    # one full-size image's EM into a different basin (0.38 golden agreement
+    # vs the fused kernel's 0.997; experiments/exp_gmm_fused_parity.py)
+    means = jnp.dot(resp.T, x, preferred_element_type=jnp.float32,
+                    precision=precision_for(jnp.float32)) / nk[:, None]
 
     def cov_j(j):
         rx = resp[:, j : j + 1] * x  # (N, D)
-        exx = jnp.dot(x.T, rx, preferred_element_type=jnp.float32) / nk[j]
+        exx = jnp.dot(x.T, rx, preferred_element_type=jnp.float32,
+                      precision=precision_for(jnp.float32)) / nk[j]
         c = exx - jnp.outer(means[j], means[j])
         return c + reg_covar * jnp.eye(d, dtype=x.dtype)
 

@@ -1,0 +1,348 @@
+"""Fused Pallas EM step for the full-covariance GMM (SURVEY.md C9).
+
+Why: at BSDS scale (N=154k, D=39) one EM iteration of the XLA solver
+(models/gmm.py) measured ~6 ms — ~5x its HBM floor and ~30x its FLOP floor.
+The per-component chain (diff materialization, triangular solve over
+(D, N), separate M-step dots) re-reads x ~10 times per iteration and the
+(D, N) triangular solve schedules poorly.
+
+This kernel computes the ENTIRE EM step in ONE pass over the transposed
+feature buffer (the same ``xt_geometry`` layout the fused k-means uses —
+the init solve and EM share one buffer):
+
+    scores      y = A @ x - b            (A = stacked P_j^T precision-chol,
+                                          one (k*Dp, Dp) @ (Dp, block) dot)
+    mahalanobis maha_j = sum over j's Dp-row group of y^2   (exact f32 VPU)
+    resp        log-sum-exp over the 8-sublane component axis
+    M-step      msums = resp @ x^T (counts via the ones-row),
+                covs_j = (x .* resp_j) @ x^T    (Q@K^T lane contractions)
+    labels      argmax_j log-prob (first-hit, matching jnp.argmax)
+
+Per-block partial moments keep grid steps independent (full DMA
+pipelining); XLA reduces the tiny partials and does the O(k D^3)
+per-iteration linear algebra (Cholesky, triangular inverse) once per step.
+
+Precision: in f32 mode every MXU dot is hand-rolled bf16x3 (operand
+splitting — Mosaic's DEFAULT f32 dot rounds operands to bf16, the
+precision-audit failure mode; HIGHEST is not needed because products of
+split halves are exact). In bf16 mode operands are bf16-exact and plain
+DEFAULT dots accumulate in f32.
+
+Semantics: sklearn GaussianMixture (models/gmm.py is the in-repo semantic
+reference; golden/cluster.py gmm_golden the f64 oracle). The Mahalanobis
+is computed via the precision-Cholesky MATMUL (sklearn's own form,
+_estimate_log_gaussian_prob) instead of models/gmm.py's triangular solve —
+identical in exact arithmetic; parity tests pin label agreement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+    _block_for_t,
+    kmeans_fused_t_xt,
+    xt_geometry,
+)
+
+_KP = 8  # component axis padded to one sublane tile; kernel needs k <= 8
+_LOG2PI = 1.8378770664093453
+
+
+def _split3_dot(a, bt, contract_b_axis, f32_mode):
+    """dot_general(a, bt) contracting a's axis 1 with bt's ``contract_b_axis``.
+
+    f32 mode: bf16x3 operand splitting (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi),
+    accurate to ~f32 without Mosaic's 6-pass HIGHEST. bf16 mode: one DEFAULT
+    dot (operands already bf16-exact)."""
+    dims = (((1,), (contract_b_axis,)), ((), ()))
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+
+    if not f32_mode:
+        return dot(a, bt)
+    a = a.astype(jnp.float32)
+    bt = bt.astype(jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = bt.astype(jnp.bfloat16)
+    b_lo = (bt - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _em_kernel(
+    xt_ref,  # (1, Dp, block) mm dtype; row d is ones
+    a_ref,  # (1, k*Dp, Dp) f32 stacked P_j^T (zero-padded rows/cols)
+    bias_ref,  # (1, k*Dp, 1) f32 stacked A_j @ mu_j
+    const_ref,  # (1, _KP, 1) f32 per-component log w + logdet - D/2 log2pi
+    labels_ref,  # (1, 1, 1, block) int32
+    ll_ref,  # (1, 1, 1, 1) f32 partial sum of log-likelihood
+    msums_ref,  # (1, 1, _KP, Dp) f32 partial resp-weighted sums (+counts)
+    covs_ref,  # (1, 1, k, Dp, Dp) f32 partial resp-weighted scatter
+    *,
+    k: int,
+    dp: int,
+    block: int,
+    n_rows: int,
+    f32_mode: bool,
+):
+    i = pl.program_id(1)
+    xt = xt_ref[0]  # (Dp, block)
+    a = a_ref[0]  # (k*Dp, Dp) f32
+    y = _split3_dot(a, xt, 0, f32_mode) - bias_ref[0]  # (k*Dp, block) f32
+    ysq = y * y
+    maha = jnp.concatenate(
+        [jnp.sum(ysq[j * dp:(j + 1) * dp], axis=0, keepdims=True)
+         for j in range(k)]
+        + [jnp.zeros((_KP - k, block), jnp.float32)],
+        axis=0,
+    )  # (_KP, block) exact f32 group sums
+    lp = const_ref[0] - 0.5 * maha  # (_KP, block)
+    sub = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 0)
+    lp = jnp.where(sub < k, lp, -jnp.inf)
+
+    labels = jnp.argmax(lp, axis=0, keepdims=True).astype(jnp.int32)
+    labels_ref[0, 0] = labels
+
+    m = jnp.max(lp, axis=0, keepdims=True)  # (1, block)
+    ex = jnp.where(sub < k, jnp.exp(lp - m), 0.0)
+    se = jnp.sum(ex, axis=0, keepdims=True)
+    lse = m + jnp.log(se)
+    resp = ex / se  # (_KP, block)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    valid = (col + i * block) < n_rows
+    resp = jnp.where(valid, resp, 0.0)
+    ll_ref[0, 0] = jnp.sum(
+        jnp.where(valid, lse, 0.0), axis=1, keepdims=True
+    )
+
+    mm = xt.dtype if not f32_mode else jnp.float32
+    msums_ref[0, 0] = _split3_dot(resp.astype(mm), xt, 1, f32_mode)
+    for j in range(k):
+        rx = xt.astype(mm) * resp[j:j + 1].astype(mm)  # (Dp, block)
+        covs_ref[0, 0, j] = _split3_dot(rx, xt, 1, f32_mode)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool):
+    """One fused E+M pass. Returns (labels (B, n_pad), ll (B,),
+    msums (B, _KP, Dp), covs (B, k, Dp, Dp)) — moments already nb-reduced."""
+    b, dp, n_pad = xt.shape
+    nb = n_pad // block
+    f32_mode = xt.dtype == jnp.float32
+    kernel = functools.partial(
+        _em_kernel, k=k, dp=dp, block=block, n_rows=n, f32_mode=f32_mode
+    )
+    labels, ll, msums, covs = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, dp, block), lambda bi, i: (bi, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * dp, dp), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * dp, 1), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _KP, 1), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, block), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _KP, dp), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k, dp, dp), lambda bi, i: (bi, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nb, 1, block), jnp.int32),
+            jax.ShapeDtypeStruct((b, nb, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, _KP, dp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, k, dp, dp), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * b * n_pad * dp * dp * k * (3 if f32_mode else 1)),
+            bytes_accessed=int(xt.dtype.itemsize * b * n_pad * dp),
+            transcendentals=int(b * n_pad * _KP),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xt, a, bias, const)
+    return (
+        labels.reshape(b, n_pad),
+        jnp.sum(ll, axis=(1, 2, 3)),
+        jnp.sum(msums, axis=1),
+        jnp.sum(covs, axis=1),
+    )
+
+
+def _params_to_kernel_inputs(weights, means, covs, d: int, dp: int, k: int):
+    """(B, k), (B, k, d), (B, k, d, d) -> (A, bias, const) kernel operands.
+
+    A_j = P_j^T where P_j = solve_triangular(chol(cov_j), I).T is sklearn's
+    precision Cholesky; logdet P_j = -sum log diag chol_j."""
+    b = weights.shape[0]
+    chol = jnp.linalg.cholesky(covs)  # (B, k, d, d) lower
+    eye = jnp.eye(d, dtype=covs.dtype)
+    pt = jax.scipy.linalg.solve_triangular(  # = P^T (lower)
+        chol, jnp.broadcast_to(eye, (b, k, d, d)), lower=True
+    )
+    a = jnp.zeros((b, k, dp, dp), jnp.float32)
+    a = a.at[:, :, :d, :d].set(pt.astype(jnp.float32))
+    a = a.reshape(b, k * dp, dp)
+    bias = jnp.einsum("bkij,bkj->bki", pt.astype(jnp.float32),
+                      means.astype(jnp.float32))  # (B, k, d)
+    bias_full = jnp.zeros((b, k, dp), jnp.float32).at[:, :, :d].set(bias)
+    bias_full = bias_full.reshape(b, k * dp, 1)
+    logdet = -jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=2, axis2=3)), axis=2
+    )  # (B, k)
+    const = jnp.log(weights) + logdet - 0.5 * d * _LOG2PI
+    const_full = jnp.zeros((b, _KP, 1), jnp.float32).at[:, :k, 0].set(const)
+    return a, bias_full, const_full
+
+
+def _moments_to_params(msums, covs, d: int, n: int, k: int, reg_covar: float):
+    """Partial moments -> (weights, means, covs) with sklearn's formulas."""
+    nk = msums[:, :k, d] + 10.0 * jnp.finfo(jnp.float32).eps  # (B, k) counts
+    means = msums[:, :k, :d] / nk[:, :, None]
+    exx = covs[:, :, :d, :d] / nk[:, :, None, None]
+    cov = exx - jnp.einsum("bki,bkj->bkij", means, means)
+    cov = cov + reg_covar * jnp.eye(d, dtype=cov.dtype)
+    return nk / n, means, cov
+
+
+def _init_moments(xt, labels, k: int, d: int):
+    """Hard-assignment moments of the k-means init (resp = one-hot).
+
+    One-time XLA pass (not per-iteration): onehot8 (B, 8, Np) against the
+    transposed buffer; counts ride the ones-row like everywhere else."""
+    b, dp, n_pad = xt.shape
+    sub = jnp.arange(_KP, dtype=jnp.int32)[None, :, None]
+    onehot = (labels[:, None, :] == sub).astype(xt.dtype)  # (B, _KP, Np)
+    msums = jax.lax.dot_general(
+        onehot.astype(jnp.float32), xt.astype(jnp.float32),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, _KP, Dp)
+    xf = xt.astype(jnp.float32)
+
+    def cov_j(j):
+        rx = xf * onehot[:, j:j + 1, :].astype(jnp.float32)
+        return jax.lax.dot_general(
+            rx, xf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    covs = jnp.stack([cov_j(j) for j in range(k)], axis=1)  # (B, k, Dp, Dp)
+    return msums, covs
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def gmm_fused_t_xt(
+    xt: jnp.ndarray,
+    k: int,
+    d: int,
+    n: int,
+    n_iter: int = 30,
+    reg_covar: float = 1e-4,
+    kmeans_iters: int = 10,
+    tol: float = 0.0,
+) -> jnp.ndarray:
+    """Fused-EM GMM labels on a pre-built transposed buffer (xt_geometry).
+
+    Mirrors models/gmm.py::gmm_fit semantics: deterministic k-means init
+    (hard one-hot M-step), then EM with sklearn's tol rule on the mean
+    log-likelihood (tol=0: exactly n_iter iterations), final E-step labels.
+    Returns (B, n) int32 labels.
+    """
+    if k > _KP:
+        raise ValueError(f"fused EM supports k <= {_KP}, got {k}")
+    b, dp, n_pad = xt.shape
+    block = _block_for_t(n, dp, jnp.dtype(xt.dtype).itemsize)
+    if n_pad % block:
+        raise ValueError(f"xt lane dim {n_pad} not a multiple of block {block}")
+    interpret = jax.default_backend() != "tpu"
+
+    init_labels, _ = kmeans_fused_t_xt(xt, k, d, n, kmeans_iters)
+    lab_pad = jnp.zeros((b, n_pad), jnp.int32).at[:, :n].set(init_labels)
+    lab_pad = lab_pad.at[:, n:].set(-1)  # padded pixels vote for nobody
+    msums0, covs0 = _init_moments(xt, lab_pad, k, d)
+    params0 = _moments_to_params(msums0, covs0, d, n, k, reg_covar)
+
+    def em(params):
+        a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
+        labels, ll, msums, covs = _em_pass(
+            xt, a, bias, const, k, block, n, interpret
+        )
+        new = _moments_to_params(msums, covs, d, n, k, reg_covar)
+        return new, ll / n, labels  # (B,) per-image mean log-likelihood
+
+    ll0 = jnp.full((b,), -jnp.inf, jnp.float32)
+    if tol == 0.0:
+        def body(_, carry):
+            params, _ = carry
+            new, ll, _ = em(params)
+            return new, ll
+        params, _ = lax.fori_loop(0, n_iter, body, (params0, ll0))
+    else:
+        # per-image tol, batch-synchronized: run while ANY image still
+        # improves — the same effective behavior as vmapping the XLA
+        # solver's while_loop over the batch (converged images keep taking
+        # harmless EM steps until the slowest one stops)
+        def cond(carry):
+            return carry[3]
+
+        def body(carry):
+            i, params, prev_ll, _ = carry
+            new, ll, _ = em(params)
+            go = (i + 1 < n_iter) & jnp.any(jnp.abs(ll - prev_ll) >= tol)
+            return i + 1, new, ll, go
+
+        _, params, _, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), params0, ll0, n_iter > 0)
+        )
+
+    a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
+    labels, _, _, _ = _em_pass(xt, a, bias, const, k, block, n, interpret)
+    return labels[:, :n]
+
+
+def gmm_fused_t(
+    x: jnp.ndarray,
+    k: int,
+    n_iter: int = 30,
+    reg_covar: float = 1e-4,
+    kmeans_iters: int = 10,
+    tol: float = 0.0,
+) -> jnp.ndarray:
+    """(B, N, D) (or (N, D)) -> (B, N) int32 labels via the fused EM kernel.
+
+    Builds the shared transposed buffer then solves; see gmm_fused_t_xt."""
+    if x.ndim == 2:
+        return gmm_fused_t(x[None], k, n_iter, reg_covar, kmeans_iters, tol)[0]
+    b, n, d = x.shape
+    dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    dp, n_pad, _ = xt_geometry(n, d, dtype)
+    xt = jnp.zeros((b, dp, n_pad), dtype)
+    xt = xt.at[:, :d, :n].set(jnp.swapaxes(x.astype(dtype), 1, 2))
+    xt = xt.at[:, d, :n].set(1.0)
+    return gmm_fused_t_xt(xt, k, d, n, n_iter, reg_covar, kmeans_iters, tol)

@@ -86,7 +86,7 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
     n = h * w
     return (
         jax.default_backend() == "tpu"
-        and cfg.cluster.method == "kmeans"
+        and cfg.cluster.method in ("kmeans", "gmm")
         and not cfg.graph.enabled
         and cfg.cluster.k <= 8
         and cfg.cluster.subsample == 1
@@ -125,10 +125,20 @@ def _segment_batch_transposed(
     with jax.named_scope("assemble"):
         xt = assemble_features_t(energies_cm, color, cfg.cluster, dp, n_pad)
     with jax.named_scope("cluster"):
-        labels, _ = kmeans_fused_t_xt(
-            xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
-            cfg.cluster.init_stride,
-        )
+        if cfg.cluster.method == "gmm":
+            from gabor_color_image_segmentation_tpu.models.gmm_pallas import (
+                gmm_fused_t_xt,
+            )
+
+            labels = gmm_fused_t_xt(
+                xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
+                cfg.cluster.gmm_reg_covar, 10, cfg.cluster.gmm_tol,
+            )
+        else:
+            labels, _ = kmeans_fused_t_xt(
+                xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
+                cfg.cluster.init_stride,
+            )
     return labels.reshape(b, h, w).astype(jnp.int32)
 
 
@@ -171,18 +181,35 @@ def segment_batch(
                 cfg.cluster.init_stride,
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
-        from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
-
-        cluster = lambda f: gmm_predict(
-            f,
-            cfg.cluster.k,
-            cfg.cluster.n_iter,
-            cfg.cluster.gmm_reg_covar,
-            cfg.cluster.subsample,
-            cfg.cluster.gmm_tol,
+        use_fused_em = (
+            jax.default_backend() == "tpu"
+            and cfg.cluster.k <= 8
+            and cfg.cluster.subsample == 1
+            and 4096 <= h * w <= 2_000_000
         )
-        with jax.named_scope("cluster"):
-            labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
+        if use_fused_em:
+            from gabor_color_image_segmentation_tpu.models.gmm_pallas import (
+                gmm_fused_t,
+            )
+
+            with jax.named_scope("cluster"):
+                labels = gmm_fused_t(
+                    flat, cfg.cluster.k, cfg.cluster.n_iter,
+                    cfg.cluster.gmm_reg_covar, 10, cfg.cluster.gmm_tol,
+                ).reshape(b, h, w).astype(jnp.int32)
+        else:
+            from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
+
+            cluster = lambda f: gmm_predict(
+                f,
+                cfg.cluster.k,
+                cfg.cluster.n_iter,
+                cfg.cluster.gmm_reg_covar,
+                cfg.cluster.subsample,
+                cfg.cluster.gmm_tol,
+            )
+            with jax.named_scope("cluster"):
+                labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
     else:
         raise ValueError(cfg.cluster.method)
 

@@ -96,3 +96,37 @@ def test_tol_zero_is_fixed_count(rng):
     b, rb, _ = gmm_fit(x, 3, n_iter=12, tol=0.0)
     assert (np.asarray(a) == np.asarray(b)).all()
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+def test_fused_em_matches_xla(rng):
+    """Interpret-mode fused EM kernel == XLA gmm_fit labels (same init,
+    same formulas; solve-vs-matmul Mahalanobis within tolerance)."""
+    from gabor_color_image_segmentation_tpu.models.gmm_pallas import gmm_fused_t
+
+    for k, d, tol in [(3, 8, 0.0), (5, 20, 1e-3)]:
+        c = rng.normal(size=(k, d)) * 3.0
+        lab = rng.integers(0, k, 3000)
+        x = (c[lab] + rng.normal(size=(3000, d)) * 0.3).astype(np.float32)
+        l_xla, _, _ = gmm_fit(x, k, 15, 1e-4, 10, tol)
+        l_fused = gmm_fused_t(x, k, 15, 1e-4, 10, tol)
+        agree = (np.asarray(l_xla) == np.asarray(l_fused)).mean()
+        assert agree > 0.999, (k, d, tol, agree)
+
+
+def test_fused_em_batched(rng):
+    """Batched fused EM == per-image XLA gmm_fit."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.gmm_pallas import gmm_fused_t
+
+    xs = []
+    for i in range(3):
+        c = rng.normal(size=(4, 10)) * 3.0
+        lab = rng.integers(0, 4, 2000)
+        xs.append((c[lab] + rng.normal(size=(2000, 10)) * 0.3))
+    xs = np.stack(xs).astype(np.float32)
+    l_fused = gmm_fused_t(jnp.asarray(xs), 4, 12)
+    for i in range(3):
+        l_xla, _, _ = gmm_fit(xs[i], 4, 12)
+        agree = (np.asarray(l_fused[i]) == np.asarray(l_xla)).mean()
+        assert agree > 0.999, (i, agree)

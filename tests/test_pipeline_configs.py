@@ -94,3 +94,23 @@ def test_segment_batch_without_features(batch2):
     lab, none = segment_batch(imgs, cfg, bank, False)
     assert none is None and feats is not None
     assert (np.asarray(lab) == np.asarray(ref)).all()
+
+
+def test_transposed_fast_path_gmm(batch2):
+    """Transposed pipeline with GMM clustering == regular path labels."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _segment_batch_transposed,
+    )
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    imgs, _ = batch2
+    cfg = preset("config2").replace(batch_size=2, feature_impl="pallas")
+    cfg = cfg.replace(cluster=dataclasses.replace(cfg.cluster, n_iter=8))
+    bank = make_bank(cfg.bank)
+    ref, _ = segment_batch(imgs, cfg, bank)
+    fast = _segment_batch_transposed(np.asarray(imgs), cfg, bank)
+    ref, fast = np.asarray(ref), np.asarray(fast)
+    for i in range(ref.shape[0]):
+        aligned = align_labels(fast[i], ref[i])
+        agree = (aligned == ref[i]).mean()
+        assert agree > 0.99, agree
