@@ -209,9 +209,12 @@ def kmeans_batch(
         jax.default_backend() == "tpu"
         and k <= 8
         # pixel-scale problems only: tiny N (e.g. the spectral-discretize
-        # k-means over ~300 superpixel rows) is kernel-launch-dominated, and
-        # huge N (4K images) would sublane-pad the transposed feature copy
-        and 4096 <= fit_view.shape[1] <= 2_000_000
+        # k-means over ~300 superpixel rows) is kernel-launch-dominated. The
+        # upper bound admits 4K frames (N=8.3M: the transposed copy is
+        # 3.2 GB bf16 at dp=48, and each Lloyd pass drops from two padded
+        # MXU sweeps to one HBM stream) while refusing sizes whose transposed
+        # copy would not fit HBM alongside the NHWC features.
+        and 4096 <= fit_view.shape[1] <= 10_000_000
     )
     if use_fused_t:
         from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
