@@ -38,7 +38,6 @@ identical in exact arithmetic; parity tests pin label agreement.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

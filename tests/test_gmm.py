@@ -130,3 +130,20 @@ def test_fused_em_batched(rng):
         l_xla, _, _ = gmm_fit(xs[i], 4, 12)
         agree = (np.asarray(l_fused[i]) == np.asarray(l_xla)).mean()
         assert agree > 0.999, (i, agree)
+
+
+def test_fused_em_bf16_close(rng):
+    """bf16-mode fused EM stays close to the f32 XLA solver on separated
+    blobs (production bf16 tolerance contract)."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.gmm_pallas import gmm_fused_t
+
+    c = rng.normal(size=(4, 12)) * 3.0
+    lab = rng.integers(0, 4, 3000)
+    x = (c[lab] + rng.normal(size=(3000, 12)) * 0.2).astype(np.float32)
+    l_xla, _, _ = gmm_fit(x, 4, 12)
+    l_bf16 = gmm_fused_t(jnp.asarray(x, jnp.bfloat16), 4, 12)
+    aligned = align_labels(np.asarray(l_bf16), np.asarray(l_xla))
+    agree = (aligned == np.asarray(l_xla)).mean()
+    assert agree > 0.99, agree
