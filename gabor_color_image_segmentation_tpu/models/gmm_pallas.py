@@ -22,11 +22,13 @@ Per-block partial moments keep grid steps independent (full DMA
 pipelining); XLA reduces the tiny partials and does the O(k D^3)
 per-iteration linear algebra (Cholesky, triangular inverse) once per step.
 
-Precision: in f32 mode every MXU dot is hand-rolled bf16x3 (operand
-splitting — Mosaic's DEFAULT f32 dot rounds operands to bf16, the
-precision-audit failure mode; HIGHEST is not needed because products of
-split halves are exact). In bf16 mode operands are bf16-exact and plain
-DEFAULT dots accumulate in f32.
+Precision: every MXU dot is f32-accurate via operand splitting
+(_split_dot) — the f32 side (precisions, responsibilities) always splits
+into exact bf16 hi+lo halves; bf16-mode features contribute one bf16-exact
+operand (2 passes), f32-mode features add the hi@lo cross term (bf16x3).
+bf16 mode therefore only changes feature STORAGE (the pipeline-wide bf16
+contract), never the EM algebra — Mosaic's silently-bf16-rounding DEFAULT
+f32 dot and its 6-pass HIGHEST are both avoided.
 
 Semantics: sklearn GaussianMixture (models/gmm.py is the in-repo semantic
 reference; golden/cluster.py gmm_golden the f64 oracle). The Mahalanobis
@@ -55,12 +57,17 @@ _KP = 8  # component axis padded to one sublane tile; kernel needs k <= 8
 _LOG2PI = 1.8378770664093453
 
 
-def _split3_dot(a, bt, contract_b_axis, f32_mode):
-    """dot_general(a, bt) contracting a's axis 1 with bt's ``contract_b_axis``.
+def _split_dot(a, bt, contract_b_axis):
+    """f32-accurate dot_general(a, bt) contracting a's axis 1 with bt's
+    ``contract_b_axis``, via operand splitting (never Mosaic's 6-pass
+    HIGHEST, never a silently bf16-rounded DEFAULT f32 dot).
 
-    f32 mode: bf16x3 operand splitting (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi),
-    accurate to ~f32 without Mosaic's 6-pass HIGHEST. bf16 mode: one DEFAULT
-    dot (operands already bf16-exact)."""
+    ``a`` is always an f32 quantity (stacked precisions / responsibilities):
+    split into hi+lo bf16 halves (2 exact-product passes). ``bt`` is the
+    feature buffer: bf16-mode features are ALREADY bf16-exact (one operand
+    as-is — bf16 storage is the pipeline-wide contract, the EM algebra
+    stays f32-accurate); f32-mode features add the a_hi @ b_lo cross term
+    (bf16x3)."""
     dims = (((1,), (contract_b_axis,)), ((), ()))
 
     def dot(x, y):
@@ -69,12 +76,12 @@ def _split3_dot(a, bt, contract_b_axis, f32_mode):
             preferred_element_type=jnp.float32,
         )
 
-    if not f32_mode:
-        return dot(a, bt)
     a = a.astype(jnp.float32)
-    bt = bt.astype(jnp.float32)
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if bt.dtype == jnp.bfloat16:
+        return dot(a_hi, bt) + dot(a_lo, bt)
+    bt = bt.astype(jnp.float32)
     b_hi = bt.astype(jnp.bfloat16)
     b_lo = (bt - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
@@ -94,12 +101,11 @@ def _em_kernel(
     dp: int,
     block: int,
     n_rows: int,
-    f32_mode: bool,
 ):
     i = pl.program_id(1)
     xt = xt_ref[0]  # (Dp, block)
     a = a_ref[0]  # (k*Dp, Dp) f32
-    y = _split3_dot(a, xt, 0, f32_mode) - bias_ref[0]  # (k*Dp, block) f32
+    y = _split_dot(a, xt, 0) - bias_ref[0]  # (k*Dp, block) f32
     ysq = y * y
     maha = jnp.concatenate(
         [jnp.sum(ysq[j * dp:(j + 1) * dp], axis=0, keepdims=True)
@@ -127,11 +133,11 @@ def _em_kernel(
         jnp.where(valid, lse, 0.0), axis=1, keepdims=True
     )
 
-    mm = xt.dtype if not f32_mode else jnp.float32
-    msums_ref[0, 0] = _split3_dot(resp.astype(mm), xt, 1, f32_mode)
+    msums_ref[0, 0] = _split_dot(resp, xt, 1)  # resp stays f32; split inside
+    xf = xt.astype(jnp.float32)
     for j in range(k):
-        rx = xt.astype(mm) * resp[j:j + 1].astype(mm)  # (Dp, block)
-        covs_ref[0, 0, j] = _split3_dot(rx, xt, 1, f32_mode)
+        rx = xf * resp[j:j + 1]  # (Dp, block) f32 — exact VPU products
+        covs_ref[0, 0, j] = _split_dot(rx, xt, 1)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -140,9 +146,9 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool):
     msums (B, _KP, Dp), covs (B, k, Dp, Dp)) — moments already nb-reduced."""
     b, dp, n_pad = xt.shape
     nb = n_pad // block
-    f32_mode = xt.dtype == jnp.float32
+    n_passes = 3 if xt.dtype == jnp.float32 else 2  # _split_dot pass count
     kernel = functools.partial(
-        _em_kernel, k=k, dp=dp, block=block, n_rows=n, f32_mode=f32_mode
+        _em_kernel, k=k, dp=dp, block=block, n_rows=n
     )
     labels, ll, msums, covs = pl.pallas_call(
         kernel,
@@ -174,7 +180,7 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool):
             jax.ShapeDtypeStruct((b, nb, k, dp, dp), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * b * n_pad * dp * dp * k * (3 if f32_mode else 1)),
+            flops=int(2 * b * n_pad * dp * dp * k * n_passes),
             bytes_accessed=int(xt.dtype.itemsize * b * n_pad * dp),
             transcendentals=int(b * n_pad * _KP),
         ),
@@ -206,7 +212,10 @@ def _params_to_kernel_inputs(weights, means, covs, d: int, dp: int, k: int):
     a = a.at[:, :, :d, :d].set(pt.astype(jnp.float32))
     a = a.reshape(b, k * dp, dp)
     bias = jnp.einsum("bkij,bkj->bki", pt.astype(jnp.float32),
-                      means.astype(jnp.float32))  # (B, k, d)
+                      means.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)  # (B, k, d)
+    # HIGHEST: a DEFAULT f32 einsum bf16-rounds operands on TPU and the
+    # bias feeds the Mahalanobis directly (repo precision policy)
     bias_full = jnp.zeros((b, k, dp), jnp.float32).at[:, :, :d].set(bias)
     bias_full = bias_full.reshape(b, k * dp, 1)
     logdet = -jnp.sum(
@@ -303,21 +312,28 @@ def gmm_fused_t_xt(
             return new, ll
         params, _ = lax.fori_loop(0, n_iter, body, (params0, ll0))
     else:
-        # per-image tol, batch-synchronized: run while ANY image still
-        # improves — the same effective behavior as vmapping the XLA
-        # solver's while_loop over the batch (converged images keep taking
-        # harmless EM steps until the slowest one stops)
+        # per-image tol with per-image FREEZING, exactly like vmapping the
+        # XLA solver's while_loop over the batch: a converged image's params
+        # stop updating (vmapped while_loop freezes done lanes via select),
+        # while the loop runs until the slowest image converges
+        def freeze(go_b, new, old):
+            mask = go_b.reshape((b,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
         def cond(carry):
-            return carry[3]
+            return jnp.any(carry[3])
 
         def body(carry):
-            i, params, prev_ll, _ = carry
+            i, params, prev_ll, go_b = carry
             new, ll, _ = em(params)
-            go = (i + 1 < n_iter) & jnp.any(jnp.abs(ll - prev_ll) >= tol)
-            return i + 1, new, ll, go
+            params = tuple(freeze(go_b, n_, o_) for n_, o_ in zip(new, params))
+            ll = jnp.where(go_b, ll, prev_ll)
+            go_b = go_b & (i + 1 < n_iter) & (jnp.abs(ll - prev_ll) >= tol)
+            return i + 1, params, ll, go_b
 
+        go0 = jnp.full((b,), n_iter > 0)
         _, params, _, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), params0, ll0, n_iter > 0)
+            cond, body, (jnp.int32(0), params0, ll0, go0)
         )
 
     a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
@@ -335,7 +351,10 @@ def gmm_fused_t(
 ) -> jnp.ndarray:
     """(B, N, D) (or (N, D)) -> (B, N) int32 labels via the fused EM kernel.
 
-    Builds the shared transposed buffer then solves; see gmm_fused_t_xt."""
+    Builds the shared transposed buffer then solves; see gmm_fused_t_xt.
+    bf16 inputs stay bf16 in STORAGE only (the pipeline-wide feature
+    contract); the EM algebra is f32-accurate either way — _split_dot never
+    bf16-rounds the f32 side of a product."""
     if x.ndim == 2:
         return gmm_fused_t(x[None], k, n_iter, reg_covar, kmeans_iters, tol)[0]
     b, n, d = x.shape

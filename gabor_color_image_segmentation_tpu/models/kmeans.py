@@ -204,19 +204,12 @@ def kmeans_batch(
     sublane tile across 8M+ pixels; config4's distributed Lloyd has its own
     psum solver). The v1/v2 fused kernels (kmeans_fused) stay as documented
     dead ends — see the STATUS note in kmeans_pallas.py."""
-    fit_view = x if subsample == 1 else x[:, ::subsample]
-    use_fused_t = (
-        jax.default_backend() == "tpu"
-        and k <= 8
-        # pixel-scale problems only: tiny N (e.g. the spectral-discretize
-        # k-means over ~300 superpixel rows) is kernel-launch-dominated. The
-        # upper bound admits 4K frames (N=8.3M: the transposed copy is
-        # 3.2 GB bf16 at dp=48, and each Lloyd pass drops from two padded
-        # MXU sweeps to one HBM stream) while refusing sizes whose transposed
-        # copy would not fit HBM alongside the NHWC features.
-        and 4096 <= fit_view.shape[1] <= 10_000_000
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        fused_solver_eligible,
     )
-    if use_fused_t:
+
+    fit_view = x if subsample == 1 else x[:, ::subsample]
+    if fused_solver_eligible(k, fit_view.shape[1]):
         from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
             kmeans_fused_t,
         )

@@ -250,6 +250,22 @@ def _lloyd_t_pass(xt, centers_pad, k: int, block: int, n_rows: int, interpret: b
     return labels.reshape(b, n_pad), jnp.sum(psums, axis=1)
 
 
+def fused_solver_eligible(k: int, n: int, n_max: int = 10_000_000) -> bool:
+    """Shared dispatch gate for the fused transposed solvers (k-means, GMM).
+
+    TPU only; k on one sublane tile; pixel-scale N — tiny problems (the
+    spectral-discretize k-means over ~300 superpixel rows) are
+    kernel-launch-dominated, and the upper bound refuses sizes whose
+    transposed copy would not fit HBM alongside the NHWC features (the
+    default admits 4K frames at dp=48). ONE predicate so the kmeans/gmm and
+    with_features=True/False paths of the same config never drift apart."""
+    return (
+        jax.default_backend() == "tpu"
+        and k <= _K_PAD
+        and 4096 <= n <= n_max
+    )
+
+
 def xt_geometry(n: int, d: int, dtype):
     """Padded geometry of the transposed solver layout for (n pixels, d dims):
     returns (dp, n_pad, block). dp = d + 1 (ones-row) padded to the sublane

@@ -83,14 +83,15 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
     skipping three full-tensor layout round-trips. Falls back whenever the
     NHWC feature tensor is needed anyway (graph stage, non-kmeans, tiling,
     non-fused feature impl, turbo subsample, or off-TPU)."""
-    n = h * w
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        fused_solver_eligible,
+    )
+
     return (
-        jax.default_backend() == "tpu"
+        fused_solver_eligible(cfg.cluster.k, h * w, n_max=2_000_000)
         and cfg.cluster.method in ("kmeans", "gmm")
         and not cfg.graph.enabled
-        and cfg.cluster.k <= 8
         and cfg.cluster.subsample == 1
-        and 4096 <= n <= 2_000_000
         and cfg.bank.gamma == 1.0
         and cfg.feature_impl in ("auto", "pallas")
         and (cfg.tile_hw is None or (h <= cfg.tile_hw[0] and w <= cfg.tile_hw[1]))
@@ -181,11 +182,13 @@ def segment_batch(
                 cfg.cluster.init_stride,
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
+        from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+            fused_solver_eligible,
+        )
+
         use_fused_em = (
-            jax.default_backend() == "tpu"
-            and cfg.cluster.k <= 8
+            fused_solver_eligible(cfg.cluster.k, h * w, n_max=2_000_000)
             and cfg.cluster.subsample == 1
-            and 4096 <= h * w <= 2_000_000
         )
         if use_fused_em:
             from gabor_color_image_segmentation_tpu.models.gmm_pallas import (

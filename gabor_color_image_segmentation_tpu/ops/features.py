@@ -182,6 +182,7 @@ def assemble_features_t(
     dp: int,
     n_pad: int,
     eps: float = 1e-6,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Transposed assembly: channel-major energies -> solver-ready ``xt``.
 
@@ -200,9 +201,11 @@ def assemble_features_t(
     b, e, h, w = energies_cm.shape
     n = h * w
     d = e + 3
-    out_dtype = (
-        energies_cm.dtype if energies_cm.dtype == jnp.bfloat16 else jnp.float32
-    )
+    if out_dtype is None:  # explicit override: the GMM solver is always f32
+        out_dtype = (
+            energies_cm.dtype if energies_cm.dtype == jnp.bfloat16
+            else jnp.float32
+        )
     color_cm = jnp.transpose(color.astype(out_dtype), (0, 3, 1, 2))
     feats_t = jnp.concatenate(
         [energies_cm.astype(out_dtype), color_cm], axis=1
