@@ -35,19 +35,23 @@ def make_mesh(
 
 
 def segment_batch_sharded(
-    rgb: jax.Array, cfg: PipelineConfig, bank: GaborBank, mesh: Mesh
-) -> Tuple[jax.Array, jax.Array]:
+    rgb: jax.Array, cfg: PipelineConfig, bank: GaborBank, mesh: Mesh,
+    with_features: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """(B,H,W,3) batch sharded over mesh('batch') -> sharded (labels, features).
 
     B must be divisible by the mesh size. The per-image pipeline is
     batch-pointwise, so sharding the batch axis makes XLA partition the whole
     program with zero communication (the embarrassingly-parallel benchmark
-    loop, SURVEY.md §3.4-3.5).
+    loop, SURVEY.md §3.4-3.5). with_features=False serves sharded label maps
+    only (each chip takes the transposed fast path when eligible) and
+    returns (labels, None).
     """
     in_s = NamedSharding(mesh, P("batch"))
-    out_s = (NamedSharding(mesh, P("batch")), NamedSharding(mesh, P("batch")))
+    lab_s = NamedSharding(mesh, P("batch"))
+    out_s = (lab_s, lab_s if with_features else None)
     fn = jax.jit(
-        partial(segment_batch, cfg=cfg, bank=bank),
+        partial(segment_batch, cfg=cfg, bank=bank, with_features=with_features),
         in_shardings=in_s,
         out_shardings=out_s,
     )

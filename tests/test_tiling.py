@@ -140,3 +140,25 @@ def test_intra_chip_spatial_tiling_exact(small_mosaic):
     np.testing.assert_allclose(
         np.asarray(f_t), np.asarray(f_u), atol=2e-3, rtol=1e-4
     )
+
+
+def test_dp_sharded_labels_only(mesh8):
+    """segment_batch_sharded(with_features=False) == feature-returning path
+    on the fake 8-device mesh; features output is None."""
+    from gabor_color_image_segmentation_tpu.parallel.sharding import (
+        make_mesh,
+        segment_batch_sharded,
+    )
+
+    cfg = preset("config0").replace(batch_size=8)
+    bank = make_bank(cfg.bank)
+    imgs = np.stack(
+        [synthetic_mosaic(96, 128, n_regions=4, seed=i)[0] for i in range(8)]
+    )
+    mesh = make_mesh(8)
+    l_full, feats = segment_batch_sharded(imgs, cfg, bank, mesh)
+    l_only, none = segment_batch_sharded(
+        imgs, cfg, bank, mesh, with_features=False
+    )
+    assert none is None and feats is not None
+    assert (np.asarray(l_full) == np.asarray(l_only)).all()
