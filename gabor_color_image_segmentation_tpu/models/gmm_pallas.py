@@ -48,12 +48,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+    _K_PAD as _KP,  # component axis padded to one sublane tile; k <= 8
     _block_for_t,
+    build_xt,
     kmeans_fused_t_xt,
     xt_geometry,
 )
-
-_KP = 8  # component axis padded to one sublane tile; kernel needs k <= 8
 _LOG2PI = 1.8378770664093453
 
 
@@ -359,8 +359,5 @@ def gmm_fused_t(
         return gmm_fused_t(x[None], k, n_iter, reg_covar, kmeans_iters, tol)[0]
     b, n, d = x.shape
     dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-    dp, n_pad, _ = xt_geometry(n, d, dtype)
-    xt = jnp.zeros((b, dp, n_pad), dtype)
-    xt = xt.at[:, :d, :n].set(jnp.swapaxes(x.astype(dtype), 1, 2))
-    xt = xt.at[:, d, :n].set(1.0)
+    xt = build_xt(x, dtype)
     return gmm_fused_t_xt(xt, k, d, n, n_iter, reg_covar, kmeans_iters, tol)

@@ -183,6 +183,20 @@ def kmeans_fit_assign(
     return labels, centers
 
 
+def fused_solver_ready(k: int, n: int, n_max: int = 10_000_000) -> bool:
+    """kmeans_pallas.fused_solver_eligible behind a graceful import guard:
+    environments without jax.experimental.pallas fall back to the XLA
+    solvers (the same ImportError convention compute_features uses for the
+    feature kernel)."""
+    try:
+        from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+            fused_solver_eligible,
+        )
+    except ImportError:
+        return False
+    return fused_solver_eligible(k, n, n_max)
+
+
 def kmeans_batch(
     x: jnp.ndarray,
     k: int,
@@ -193,23 +207,21 @@ def kmeans_batch(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched per-image k-means: (B, N, D) -> ((B, N) labels, (B, k, D)).
 
-    On TPU (k <= 8, BSDS-scale N) the transposed fused Pallas Lloyd kernel
-    (models/kmeans_pallas.py::kmeans_fused_t, v3) is production: both Lloyd
-    matmuls keep k on the 8-sublane axis, so an iteration costs one HBM pass
-    over x (1.42 ms/batch-16 bf16 at D=243) instead of the XLA path's two
-    128-lane-padded MXU passes (3.42 ms). Labels/centers match the XLA
-    solver exactly (same seeds, scores, tie-breaks; measured agreement
+    On TPU (k <= 8, 4k..10M pixels — fused_solver_eligible) the transposed
+    fused Pallas Lloyd kernel (models/kmeans_pallas.py::kmeans_fused_t, v3)
+    is production: both Lloyd matmuls keep k on the 8-sublane axis, so an
+    iteration costs one HBM pass over x (1.42 ms/batch-16 bf16 at D=243)
+    instead of the XLA path's two 128-lane-padded MXU passes (3.42 ms) —
+    this includes 4K frames (N=8.3M, whose dp=48 transposed copy replaced
+    the XLA path's far larger lane-padded temp). Labels/centers match the
+    XLA solver exactly (same seeds, scores, tie-breaks; measured agreement
     1.0000 — experiments/exp_lloyd_t.py). The XLA path remains production
-    elsewhere and for large-N images (the transposed copy would pad D to the
-    sublane tile across 8M+ pixels; config4's distributed Lloyd has its own
-    psum solver). The v1/v2 fused kernels (kmeans_fused) stay as documented
-    dead ends — see the STATUS note in kmeans_pallas.py."""
-    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
-        fused_solver_eligible,
-    )
-
+    elsewhere (other backends, k > 8, tiny or >10M-pixel problems;
+    config4's DISTRIBUTED Lloyd has its own psum solver). The v1/v2 fused
+    kernels (kmeans_fused) stay as documented dead ends — see the STATUS
+    note in kmeans_pallas.py."""
     fit_view = x if subsample == 1 else x[:, ::subsample]
-    if fused_solver_eligible(k, fit_view.shape[1]):
+    if fused_solver_ready(k, fit_view.shape[1]):
         from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
             kmeans_fused_t,
         )

@@ -266,6 +266,17 @@ def fused_solver_eligible(k: int, n: int, n_max: int = 10_000_000) -> bool:
     )
 
 
+def build_xt(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, N, D) -> the solvers' shared transposed buffer (xt_geometry
+    layout): features in rows [:D], ones-row at index D, zero padding."""
+    b, n, d = x.shape
+    dp, n_pad, _ = xt_geometry(n, d, dtype)
+    xt = jnp.zeros((b, dp, n_pad), dtype)
+    xt = xt.at[:, :d, :n].set(jnp.swapaxes(x.astype(dtype), 1, 2))
+    xt = xt.at[:, d, :n].set(1.0)
+    return xt
+
+
 def xt_geometry(n: int, d: int, dtype):
     """Padded geometry of the transposed solver layout for (n pixels, d dims):
     returns (dp, n_pad, block). dp = d + 1 (ones-row) padded to the sublane
@@ -487,16 +498,9 @@ def kmeans_fused_t(
         labels, centers = kmeans_fused_t(x[None], k, n_iter, dtype, init_stride)
         return labels[0], centers[0]
     b, n, d = x.shape
-    # D only pads to sublane granularity (psums' lane dim may equal the array
-    # dim) — a 128-multiple here would lane-pad the whole feature copy 3x at
-    # D=40 (the config0/config4 shape; see kmeans_batch's memory note)
-    dp, n_pad, _ = xt_geometry(n, d, dtype)
-    x_mm = x.astype(dtype)
     # transposed layout with a ones-row at index d (count accumulator), built
     # once per solve; every Lloyd pass then streams it a single time
-    xt = jnp.zeros((b, dp, n_pad), dtype)
-    xt = xt.at[:, :d, :n].set(jnp.swapaxes(x_mm, 1, 2))
-    xt = xt.at[:, d, :n].set(1.0)
+    xt = build_xt(x, dtype)
     return kmeans_fused_t_xt(xt, k, d, n, n_iter, init_stride)
 
 

@@ -83,12 +83,12 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
     skipping three full-tensor layout round-trips. Falls back whenever the
     NHWC feature tensor is needed anyway (graph stage, non-kmeans, tiling,
     non-fused feature impl, turbo subsample, or off-TPU)."""
-    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
-        fused_solver_eligible,
+    from gabor_color_image_segmentation_tpu.models.kmeans import (
+        fused_solver_ready,
     )
 
     return (
-        fused_solver_eligible(cfg.cluster.k, h * w, n_max=2_000_000)
+        fused_solver_ready(cfg.cluster.k, h * w, n_max=2_000_000)
         and cfg.cluster.method in ("kmeans", "gmm")
         and not cfg.graph.enabled
         and cfg.cluster.subsample == 1
@@ -182,12 +182,12 @@ def segment_batch(
                 cfg.cluster.init_stride,
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
-        from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
-            fused_solver_eligible,
+        from gabor_color_image_segmentation_tpu.models.kmeans import (
+            fused_solver_ready,
         )
 
         use_fused_em = (
-            fused_solver_eligible(cfg.cluster.k, h * w, n_max=2_000_000)
+            fused_solver_ready(cfg.cluster.k, h * w, n_max=2_000_000)
             and cfg.cluster.subsample == 1
         )
         if use_fused_em:

@@ -47,13 +47,28 @@ def segment_batch_sharded(
     only (each chip takes the transposed fast path when eligible) and
     returns (labels, None).
     """
+    # shard_map, not jit+GSPMD: each shard runs the FULL per-shard program
+    # locally — including the fused Pallas solvers, whose Mosaic custom
+    # calls have no SPMD partitioning rule (under plain jit the partitioner
+    # would have to all-gather around them, breaking the zero-communication
+    # DP contract). The pipeline is batch-pointwise, so per-shard execution
+    # is exactly the sharded semantics.
+    # experimental variant with check_rep=False: the solvers' early-exit
+    # while_loops carry batch-varying convergence flags, which the new
+    # jax.shard_map VMA checker rejects for locally-run programs
+    from jax.experimental.shard_map import shard_map
+
     in_s = NamedSharding(mesh, P("batch"))
-    lab_s = NamedSharding(mesh, P("batch"))
-    out_s = (lab_s, lab_s if with_features else None)
+    out_specs = (P("batch"), P("batch") if with_features else None)
     fn = jax.jit(
-        partial(segment_batch, cfg=cfg, bank=bank, with_features=with_features),
-        in_shardings=in_s,
-        out_shardings=out_s,
+        shard_map(
+            partial(segment_batch, cfg=cfg, bank=bank,
+                    with_features=with_features),
+            mesh=mesh,
+            in_specs=P("batch"),
+            out_specs=out_specs,
+            check_rep=False,
+        )
     )
     rgb = jax.device_put(rgb, in_s)
     return fn(rgb)
