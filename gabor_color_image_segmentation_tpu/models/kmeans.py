@@ -183,7 +183,18 @@ def kmeans_fit_assign(
     return labels, centers
 
 
-def fused_solver_ready(k: int, n: int, n_max: int = 10_000_000) -> bool:
+# HBM-budget gates for the fused transposed solvers. Two intentional limits
+# that must not drift apart silently:
+#  * SOLVER_N_MAX — the solver alone: its (B, dp, n_pad) transposed buffer
+#    must fit HBM next to the caller's tensors (admits 4K frames at dp=48).
+#  * PIPELINE_N_MAX — the whole-pipeline transposed fast path / fused-EM
+#    gate: the buffer coexists with the feature stage's tensors, so the
+#    budget is tighter (BSDS-scale frames, not 4K).
+SOLVER_N_MAX = 10_000_000
+PIPELINE_N_MAX = 2_000_000
+
+
+def fused_solver_ready(k: int, n: int, n_max: int = SOLVER_N_MAX) -> bool:
     """kmeans_pallas.fused_solver_eligible behind a graceful import guard:
     environments without jax.experimental.pallas fall back to the XLA
     solvers (the same ImportError convention compute_features uses for the

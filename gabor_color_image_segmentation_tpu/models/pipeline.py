@@ -8,7 +8,7 @@ and (optionally) the superpixel/graph-cut stage never leave HBM.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,11 +84,12 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
     NHWC feature tensor is needed anyway (graph stage, non-kmeans, tiling,
     non-fused feature impl, turbo subsample, or off-TPU)."""
     from gabor_color_image_segmentation_tpu.models.kmeans import (
+        PIPELINE_N_MAX,
         fused_solver_ready,
     )
 
     return (
-        fused_solver_ready(cfg.cluster.k, h * w, n_max=2_000_000)
+        fused_solver_ready(cfg.cluster.k, h * w, n_max=PIPELINE_N_MAX)
         and cfg.cluster.method in ("kmeans", "gmm")
         and not cfg.graph.enabled
         and cfg.cluster.subsample == 1
@@ -147,7 +148,7 @@ def _segment_batch_transposed(
 def segment_batch(
     rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
     with_features: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """(B,H,W,3) sRGB -> ((B,H,W) int32 labels, (B,H,W,D) features).
 
     Per-image clustering vmaps the solver over the batch. The graph stage
@@ -183,11 +184,12 @@ def segment_batch(
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.kmeans import (
+            PIPELINE_N_MAX,
             fused_solver_ready,
         )
 
         use_fused_em = (
-            fused_solver_ready(cfg.cluster.k, h * w, n_max=2_000_000)
+            fused_solver_ready(cfg.cluster.k, h * w, n_max=PIPELINE_N_MAX)
             and cfg.cluster.subsample == 1
         )
         if use_fused_em:

@@ -201,7 +201,7 @@ def assemble_features_t(
     b, e, h, w = energies_cm.shape
     n = h * w
     d = e + 3
-    if out_dtype is None:  # explicit override: the GMM solver is always f32
+    if out_dtype is None:  # caller may override the derived storage dtype
         out_dtype = (
             energies_cm.dtype if energies_cm.dtype == jnp.bfloat16
             else jnp.float32

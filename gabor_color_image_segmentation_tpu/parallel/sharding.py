@@ -34,6 +34,53 @@ def make_mesh(
     return Mesh(np.asarray(devices), ("batch",))
 
 
+def _shard_map_unchecked(f, mesh, in_specs, out_specs):
+    """shard_map with replication/VMA checking off: the solvers' early-exit
+    while_loops carry batch-varying convergence flags, which the VMA checker
+    rejects for locally-run programs. Prefers the stable ``jax.shard_map``
+    (jax >= 0.8) and falls back to the experimental import."""
+    try:
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+
+
+def make_sharded_fn(
+    cfg: PipelineConfig, bank: GaborBank, mesh: Mesh,
+    with_features: bool = True,
+):
+    """Jitted data-parallel segmenter: (B,H,W,3) sharded over mesh('batch') ->
+    sharded (labels, features-or-None). Exposed so callers (and the driver's
+    multichip dryrun) can ``.lower().compile()`` it and inspect the HLO —
+    the DP leg must contain ZERO collectives.
+
+    shard_map, not jit+GSPMD: each shard runs the FULL per-shard program
+    locally — including the fused Pallas solvers, whose Mosaic custom
+    calls have no SPMD partitioning rule (under plain jit the partitioner
+    would have to all-gather around them, breaking the zero-communication
+    DP contract). The pipeline is batch-pointwise, so per-shard execution
+    is exactly the sharded semantics.
+    """
+    out_specs = (P("batch"), P("batch") if with_features else None)
+    return jax.jit(
+        _shard_map_unchecked(
+            partial(segment_batch, cfg=cfg, bank=bank,
+                    with_features=with_features),
+            mesh=mesh,
+            in_specs=P("batch"),
+            out_specs=out_specs,
+        )
+    )
+
+
 def segment_batch_sharded(
     rgb: jax.Array, cfg: PipelineConfig, bank: GaborBank, mesh: Mesh,
     with_features: bool = True,
@@ -47,28 +94,6 @@ def segment_batch_sharded(
     only (each chip takes the transposed fast path when eligible) and
     returns (labels, None).
     """
-    # shard_map, not jit+GSPMD: each shard runs the FULL per-shard program
-    # locally — including the fused Pallas solvers, whose Mosaic custom
-    # calls have no SPMD partitioning rule (under plain jit the partitioner
-    # would have to all-gather around them, breaking the zero-communication
-    # DP contract). The pipeline is batch-pointwise, so per-shard execution
-    # is exactly the sharded semantics.
-    # experimental variant with check_rep=False: the solvers' early-exit
-    # while_loops carry batch-varying convergence flags, which the new
-    # jax.shard_map VMA checker rejects for locally-run programs
-    from jax.experimental.shard_map import shard_map
-
-    in_s = NamedSharding(mesh, P("batch"))
-    out_specs = (P("batch"), P("batch") if with_features else None)
-    fn = jax.jit(
-        shard_map(
-            partial(segment_batch, cfg=cfg, bank=bank,
-                    with_features=with_features),
-            mesh=mesh,
-            in_specs=P("batch"),
-            out_specs=out_specs,
-            check_rep=False,
-        )
-    )
-    rgb = jax.device_put(rgb, in_s)
+    fn = make_sharded_fn(cfg, bank, mesh, with_features)
+    rgb = jax.device_put(rgb, NamedSharding(mesh, P("batch")))
     return fn(rgb)

@@ -221,39 +221,27 @@ def segment_tiled(
     return jax.jit(fn)(rgb)
 
 
-def segment_tiled_batch(
-    rgb: jnp.ndarray,
+def tiled_batch_fn(
     cfg: PipelineConfig,
     bank: GaborBank,
     mesh: Mesh,
     batch_axis: str = "batch",
     space_axis: str = "space",
-) -> jnp.ndarray:
-    """BASELINE config 4 execution shape: (B, H, W, 3) large images on a 2-D
-    mesh — data-parallel over ``batch_axis``, each image's rows spatially
-    sharded over ``space_axis`` with halo exchange + psum'd clustering.
-
-    Per (batch-shard, space-shard) device: local strips of B/n_b images; the
-    per-image tiled pipeline vmaps over the local batch; ppermute/psum ride
-    the ``space`` submesh only (DP needs zero communication).
-    """
+):
+    """Jitted BASELINE-config-4 segmenter over a 2-D batch x space mesh.
+    Exposed (like ``sharding.make_sharded_fn``) so the driver dryrun can
+    ``.lower().compile()`` it and count the collectives in the HLO —
+    expected: 2 collective-permutes (halo ring), psums for moments + Lloyd,
+    only tiny (n_dev, D)-sized all-gathers from the maximin seeding."""
     from jax import shard_map
 
     from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
     from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
 
-    b, h, w, _ = rgb.shape
-    n_b = mesh.shape[batch_axis]
-    n_s = mesh.shape[space_axis]
-    assert b % n_b == 0, f"B={b} must divide over {n_b} batch shards"
-    assert h % n_s == 0, f"H={h} must divide over {n_s} space shards"
     halo = bank.max_halo
-    if halo >= h // n_s:
-        raise ValueError(
-            f"halo {halo} >= strip height {h // n_s}; reduce {space_axis!r}"
-        )
 
     def per_image(rgb_strip):
+        w = rgb_strip.shape[1]
         color = _color_transform(rgb_strip, cfg.color_space)
         colorh = _halo_exchange_rows(color, halo, space_axis)
         energies = gabor_energies_mod(colorh[None], bank)[0][halo:-halo]
@@ -292,4 +280,33 @@ def segment_tiled_batch(
         in_specs=P(batch_axis, space_axis, None, None),
         out_specs=P(batch_axis, space_axis, None),
     )
-    return jax.jit(fn)(rgb)
+    return jax.jit(fn)
+
+
+def segment_tiled_batch(
+    rgb: jnp.ndarray,
+    cfg: PipelineConfig,
+    bank: GaborBank,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    space_axis: str = "space",
+) -> jnp.ndarray:
+    """BASELINE config 4 execution shape: (B, H, W, 3) large images on a 2-D
+    mesh — data-parallel over ``batch_axis``, each image's rows spatially
+    sharded over ``space_axis`` with halo exchange + psum'd clustering.
+
+    Per (batch-shard, space-shard) device: local strips of B/n_b images; the
+    per-image tiled pipeline vmaps over the local batch; ppermute/psum ride
+    the ``space`` submesh only (DP needs zero communication).
+    """
+    b, h, w, _ = rgb.shape
+    n_b = mesh.shape[batch_axis]
+    n_s = mesh.shape[space_axis]
+    assert b % n_b == 0, f"B={b} must divide over {n_b} batch shards"
+    assert h % n_s == 0, f"H={h} must divide over {n_s} space shards"
+    halo = bank.max_halo
+    if halo >= h // n_s:
+        raise ValueError(
+            f"halo {halo} >= strip height {h // n_s}; reduce {space_axis!r}"
+        )
+    return tiled_batch_fn(cfg, bank, mesh, batch_axis, space_axis)(rgb)
