@@ -5,10 +5,18 @@ right or down neighbor (thin, deterministic, identical host/device).
 
 Matching (tolerance = 0.0075 * image diagonal, the BSDS default):
 
-  * ``fboundary_np`` — host, ONE-TO-ONE matching like the BSDS benchmark's
-    CSA assignment, here greedy-by-increasing-distance over the candidate
-    pairs (cKDTree); for boundary geometries this is within ~1% of the
-    optimal assignment and is the number reported by the eval harness.
+  * ``fboundary_np`` — host, EXACT one-to-one matching. The BSDS bench's
+    CSA assignment maximizes the number of matches within tolerance (the
+    distances only order equal-cardinality solutions), and precision/recall
+    depend ONLY on that count — so maximum-cardinality bipartite matching
+    (scipy's Hopcroft-Karp over the tolerance graph) reports the exact
+    protocol number. This is the reported matcher.
+  * ``_match_one_greedy`` — the previous greedy-by-increasing-distance
+    matcher (C++ native / cKDTree); kept as the fast approximate variant.
+    Its gap to optimal is MEASURED, not asserted — and the round-1 "~1% of
+    optimal" folklore was WRONG: tests/test_boundary.py measures up to
+    ~13% fewer matches on wavy boundary pairs, which is why the optimal
+    matcher is the reported number now.
   * ``fboundary_jax`` — device, the standard "loose" dilated matching used
     for fast iteration: a boundary pixel matches if ANY counterpart lies
     within tolerance (no uniqueness). Computed with an exact truncated
@@ -58,11 +66,20 @@ def default_tolerance(h: int, w: int, frac: float = 0.0075) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _match_one(pred_b: np.ndarray, gt_b: np.ndarray, tol: float):
-    """One-to-one greedy matching. Returns (pred_matched, gt_matched) masks
-    over the respective boundary-pixel lists. Uses the C++ native matcher
-    when available (utils/native.py); identical tie-break (d, i, j) in the
-    Python fallback."""
+def _candidate_pairs(pp: np.ndarray, gg: np.ndarray, tol: float):
+    """cKDTree candidate lists: for each pred pixel, gt indices within tol."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(gg)
+    return tree.query_ball_point(pp, r=tol)
+
+
+def _match_one_greedy(pred_b: np.ndarray, gt_b: np.ndarray, tol: float):
+    """One-to-one GREEDY matching by increasing distance. Returns
+    (pred_matched, gt_matched) masks over the respective boundary-pixel
+    lists. Uses the C++ native matcher when available (utils/native.py);
+    identical tie-break (d, i, j) in the Python fallback. Approximate:
+    tests pin its measured gap to the optimal matcher."""
     pp = np.argwhere(pred_b)
     gg = np.argwhere(gt_b)
     pm = np.zeros(len(pp), bool)
@@ -76,10 +93,7 @@ def _match_one(pred_b: np.ndarray, gt_b: np.ndarray, tol: float):
     if native is not None:
         return native
 
-    from scipy.spatial import cKDTree
-
-    tree = cKDTree(gg)
-    pairs = tree.query_ball_point(pp, r=tol)
+    pairs = _candidate_pairs(pp, gg, tol)
     cand = [
         (float(np.hypot(*(pp[i] - gg[j]))), i, j)
         for i, js in enumerate(pairs)
@@ -93,14 +107,51 @@ def _match_one(pred_b: np.ndarray, gt_b: np.ndarray, tol: float):
     return pm, gm
 
 
+def _match_one(pred_b: np.ndarray, gt_b: np.ndarray, tol: float):
+    """One-to-one OPTIMAL matching (maximum-cardinality bipartite matching
+    on the within-tolerance graph, Hopcroft-Karp). Precision/recall depend
+    only on the match count, so this reports the exact BSDS CSA number."""
+    pp = np.argwhere(pred_b)
+    gg = np.argwhere(gt_b)
+    pm = np.zeros(len(pp), bool)
+    gm = np.zeros(len(gg), bool)
+    if len(pp) == 0 or len(gg) == 0:
+        return pm, gm
+
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+
+    pairs = _candidate_pairs(pp, gg, tol)
+    lens = np.fromiter((len(js) for js in pairs), np.int64, len(pairs))
+    indptr = np.concatenate([[0], np.cumsum(lens)])
+    if indptr[-1] == 0:
+        return pm, gm
+    indices = np.concatenate(
+        [np.asarray(js, np.int64) for js in pairs if len(js)]
+    )
+    graph = csr_matrix(
+        (np.ones(indptr[-1], np.int8), indices, indptr),
+        shape=(len(pp), len(gg)),
+    )
+    match = maximum_bipartite_matching(graph, perm_type="column")
+    pm = match != -1
+    gm[match[pm]] = True
+    return pm, gm
+
+
 def fboundary_np(
     pred_labels: np.ndarray,
     gts: Sequence[np.ndarray],
     tol_frac: float = 0.0075,
+    matcher: str = "optimal",
 ) -> Tuple[float, float, float]:
-    """BSDS boundary benchmark for one image -> (precision, recall, F)."""
+    """BSDS boundary benchmark for one image -> (precision, recall, F).
+
+    matcher="optimal" (reported): exact maximum-cardinality matching.
+    matcher="greedy": the approximate distance-greedy variant."""
     h, w = pred_labels.shape
     tol = default_tolerance(h, w, tol_frac)
+    match = _match_one if matcher == "optimal" else _match_one_greedy
     pred_b = boundaries_np(pred_labels)
     pp_n = int(pred_b.sum())
     pred_matched = np.zeros(pp_n, bool)
@@ -108,7 +159,7 @@ def fboundary_np(
     cnt_r = 0
     for gt in gts:
         gt_b = boundaries_np(gt)
-        pm, gm = _match_one(pred_b, gt_b, tol)
+        pm, gm = match(pred_b, gt_b, tol)
         pred_matched |= pm
         sum_r += int(gm.sum())
         cnt_r += int(gt_b.sum())

@@ -96,3 +96,97 @@ def test_device_dt_exactness():
     inside = exact <= r * r
     np.testing.assert_allclose(ours[inside], exact[inside], atol=1e-4)
     assert (ours[~inside] >= r * r).all()
+
+
+# ---------------------------------------------------------------------------
+# optimal matcher: correctness vs brute force + measured greedy gap
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_max_matching(pairs, n_g):
+    """Classic augmenting-path maximum bipartite matching (small instances).
+
+    pairs: list over pred pixels of candidate gt indices."""
+    match_g = [-1] * n_g
+
+    def try_augment(i, seen):
+        for j in pairs[i]:
+            if j in seen:
+                continue
+            seen.add(j)
+            if match_g[j] == -1 or try_augment(match_g[j], seen):
+                match_g[j] = i
+                return True
+        return False
+
+    count = 0
+    for i in range(len(pairs)):
+        count += try_augment(i, set())
+    return count
+
+
+def test_optimal_matcher_is_maximum_cardinality():
+    """Hopcroft-Karp matched count == brute-force optimum on random maps."""
+    from gabor_color_image_segmentation_tpu.metrics.boundary import (
+        _candidate_pairs,
+        _match_one,
+    )
+
+    rng = np.random.default_rng(0)
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        pred = np.zeros((24, 24), bool)
+        gt = np.zeros((24, 24), bool)
+        pred[rng.random((24, 24)) < 0.12] = True
+        gt[rng.random((24, 24)) < 0.12] = True
+        tol = 1.6
+        pm, gm = _match_one(pred, gt, tol)
+        pp, gg = np.argwhere(pred), np.argwhere(gt)
+        pairs = _candidate_pairs(pp, gg, tol)
+        ref = _brute_force_max_matching([list(js) for js in pairs], len(gg))
+        assert int(pm.sum()) == int(gm.sum()) == ref, (pm.sum(), ref)
+
+
+def test_greedy_gap_measured():
+    """The greedy matcher's gap to optimal, MEASURED across seeds. The round-1
+    docstring claimed '~1% of optimal' — FALSE: on wavy boundary pairs greedy
+    loses up to ~13% of matches (measured 29 vs 33 at tol=3 on seed 100),
+    which is exactly why the optimal matcher is now the reported one. The
+    pin documents the measured envelope (ratios 0.76-0.94 over these seeds;
+    greedy is 1/2-optimal in theory)."""
+    from gabor_color_image_segmentation_tpu.metrics.boundary import (
+        _match_one,
+        _match_one_greedy,
+    )
+
+    ratios = []
+    for seed in range(10):
+        rng = np.random.default_rng(100 + seed)
+        # jittered segmentation-ish boundaries: two wavy label maps
+        x = np.linspace(0, 4 * np.pi, 64)
+        split_a = (24 + 5 * np.sin(x + rng.random() * 6)).astype(int)
+        split_b = (24 + 5 * np.sin(x + rng.random() * 6)).astype(int)
+        a = np.zeros((64, 64), np.int32)
+        b = np.zeros((64, 64), np.int32)
+        for r in range(64):
+            a[r, split_a[r]:] = 1
+            b[r, split_b[r]:] = 1
+        pa, ga = boundaries_np(a), boundaries_np(b)
+        tol = 3.0
+        opt = int(_match_one(pa, ga, tol)[0].sum())
+        grd = int(_match_one_greedy(pa, ga, tol)[0].sum())
+        if opt:
+            ratios.append(grd / opt)
+            assert grd / opt >= 0.75, (seed, grd, opt)
+    assert np.mean(ratios) >= 0.82, ratios
+
+
+def test_fboundary_matcher_choice():
+    """Optimal >= greedy on every aggregate; identical on clean cases."""
+    gt = _halves()
+    assert fboundary_np(gt, [gt], matcher="greedy") == (1.0, 1.0, 1.0)
+    rng = np.random.default_rng(5)
+    pred = np.where(rng.random((40, 60)) < 0.5, gt, 1 - gt)
+    f_opt = fboundary_np(pred, [gt])[2]
+    f_grd = fboundary_np(pred, [gt], matcher="greedy")[2]
+    assert f_opt >= f_grd - 1e-12
