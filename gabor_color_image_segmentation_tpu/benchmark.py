@@ -80,7 +80,11 @@ def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
     configs 2 and 3)."""
     from golden.cluster import gmm_golden, kmeans_golden
     from golden.features import features_golden, rgb_to_lab_np
-    from golden.graph import ncut_golden, slic_golden
+    from golden.graph import (
+        enforce_connectivity_golden,
+        ncut_golden,
+        slic_golden,
+    )
     from gabor_color_image_segmentation_tpu.models.slic import grid_shape
     from gabor_color_image_segmentation_tpu.ops.bank import make_bank
 
@@ -92,12 +96,21 @@ def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
         h, w, d = feats.shape
         if g.enabled and g.cut == "ncut":
             lab = rgb_to_lab_np(batch[i])
-            sp = slic_golden(lab, g.n_superpixels, g.slic_compactness, g.slic_iters)
+            sp = enforce_connectivity_golden(
+                slic_golden(lab, g.n_superpixels, g.slic_compactness, g.slic_iters)
+            )
             gh, gw, _ = grid_shape(h, w, g.n_superpixels)
             ncut_golden(feats, sp, g.n_regions, g.affinity_sigma, gh * gw)
         elif c.method == "gmm":
             gmm_golden(
                 feats.reshape(-1, d), c.k, c.n_iter, c.gmm_reg_covar, c.gmm_tol
+            )
+        elif c.coarse_iters > 0:
+            from golden.cluster import kmeans_golden_multigrid
+
+            kmeans_golden_multigrid(
+                feats.reshape(-1, d), c.k, (h, w), c.coarse_iters,
+                c.refine_iters,
             )
         else:
             kmeans_golden(feats.reshape(-1, d), c.k, c.n_iter)

@@ -210,9 +210,13 @@ def ncut_segment(
     """Single image: (H,W,D) features + (H,W,3) Lab -> (H,W) int32 regions."""
     h, w, _ = features.shape
     sp = slic(lab, n_superpixels, ruler, slic_iters)  # (H, W)
-    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+    from gabor_color_image_segmentation_tpu.models.slic import (
+        enforce_connectivity_device,
+        grid_shape,
+    )
 
     gh, gw, _ = grid_shape(h, w, n_superpixels)
+    sp = enforce_connectivity_device(sp[None], gh * gw)[0]
     return ncut_from_superpixels(
         features, sp, gh * gw, n_regions, affinity_sigma, eig_method
     )
@@ -232,9 +236,17 @@ def graph_segment_batch(
         from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_batch
         from gabor_color_image_segmentation_tpu.ops.lookup import table_lookup
 
+        from gabor_color_image_segmentation_tpu.models.slic import (
+            enforce_connectivity_device,
+        )
+
         b, h, w, _ = features.shape
         sp = slic_batch(lab, g.n_superpixels, g.slic_compactness, g.slic_iters, g.slic_impl)
         gh, gw, _ = grid_shape(h, w, g.n_superpixels)
+        # cv2's SLIC contract includes enforceLabelConnectivity
+        # (slic.hpp:127-136); the device pass keeps every superpixel feeding
+        # the affinity graph 4-connected without leaving jit
+        sp = enforce_connectivity_device(sp, gh * gw)
         fn = lambda f, s: ncut_regions(
             f, s, gh * gw, g.n_regions, g.affinity_sigma, g.eig_method
         )

@@ -124,8 +124,24 @@ def _segment_batch_transposed(
         energies_cm = gabor_energies_fused(color, bank, dtype, channel_major=True)
     e = energies_cm.shape[1]
     dp, n_pad, _ = xt_geometry(h * w, e + 3, dtype)
+    multigrid = (
+        cfg.cluster.method == "kmeans" and cfg.cluster.coarse_iters > 0
+        and cfg.cluster.init_stride == 1 and h >= 2 and w >= 2
+    )
+    xp = None
     with jax.named_scope("assemble"):
-        xt = assemble_features_t(energies_cm, color, cfg.cluster, dp, n_pad)
+        if multigrid:
+            from gabor_color_image_segmentation_tpu.ops.features import (
+                assemble_features_t_pooled,
+            )
+
+            m = (h // 2) * (w // 2)
+            _, m_pad, _ = xt_geometry(m, e + 3, dtype)
+            xt, xp = assemble_features_t_pooled(
+                energies_cm, color, cfg.cluster, dp, n_pad, m_pad
+            )
+        else:
+            xt = assemble_features_t(energies_cm, color, cfg.cluster, dp, n_pad)
     with jax.named_scope("cluster"):
         if cfg.cluster.method == "gmm":
             from gabor_color_image_segmentation_tpu.models.gmm_pallas import (
@@ -139,7 +155,9 @@ def _segment_batch_transposed(
         else:
             labels, _ = kmeans_fused_t_xt(
                 xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
-                cfg.cluster.init_stride,
+                cfg.cluster.init_stride, (h, w) if multigrid else None,
+                cfg.cluster.coarse_iters if multigrid else 0,
+                cfg.cluster.refine_iters, xp=xp,
             )
     return labels.reshape(b, h, w).astype(jnp.int32)
 
@@ -181,6 +199,9 @@ def segment_batch(
                 kmeans_dtype,
                 cfg.cluster.subsample,
                 cfg.cluster.init_stride,
+                (h, w),
+                cfg.cluster.coarse_iters,
+                cfg.cluster.refine_iters,
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.kmeans import (
@@ -251,12 +272,21 @@ def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None
         return labels
 
     from gabor_color_image_segmentation_tpu.models.graph import mincut_segment
+    from gabor_color_image_segmentation_tpu.models.slic import (
+        enforce_connectivity_device,
+        grid_shape,
+    )
     from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_batch
 
     feats = jax.jit(lambda b: compute_features(b, cfg, bank))(rgb)
     lab = jax.jit(lambda b: _color_transform(b, "lab"))(rgb)
+    gh, gw, _ = grid_shape(rgb.shape[1], rgb.shape[2], g.n_superpixels)
     sp = jax.jit(
-        lambda l: slic_batch(l, g.n_superpixels, g.slic_compactness, g.slic_iters, g.slic_impl)
+        lambda l: enforce_connectivity_device(
+            slic_batch(l, g.n_superpixels, g.slic_compactness, g.slic_iters,
+                       g.slic_impl),
+            gh * gw,
+        )
     )(lab)
     feats_np = np.asarray(feats)
     sp_np = np.asarray(sp)

@@ -19,10 +19,21 @@ production assignment is instead a MASKED DENSE score matmul on the MXU:
 which is argmin-identical to the 9-candidate rule (the mask admits exactly
 those centroids; the dropped per-pixel ||z||^2 is constant across s). The
 update step is a segment-sum scatter-mean (XLA-native). Labels are flat
-grid-cell ids in [0, gh*gw). Connectivity enforcement — inherently
-sequential flood fill in the reference (slic.hpp enforceLabelConnectivity) —
-ships as a host post-pass (``enforce_connectivity``), applied outside jit;
-see SURVEY.md §7.4 (2).
+grid-cell ids in [0, gh*gw).
+
+Connectivity enforcement — inherently sequential flood fill in the
+reference (slic.hpp enforceLabelConnectivity) — has two implementations:
+
+* ``enforce_connectivity_device`` (jit/batch, used by the config3 graph
+  path): cv2's semantics — split into 4-connected components (prefix-
+  doubling run-min sweeps to a fixed point), renumber components >=
+  min_size densely in raster order (capped at s_max so graph tensors stay
+  static), absorb smaller fragments into adjacent surviving regions by
+  deterministic neighbor-priority propagation.
+  golden/graph.py::enforce_connectivity_golden mirrors the rule
+  bit-for-bit for parity tests.
+* ``enforce_connectivity`` (host, scipy): the same cv2-shaped split +
+  min-size absorption, used by the host min-cut route.
 """
 
 from __future__ import annotations
@@ -45,13 +56,12 @@ def grid_shape(h: int, w: int, n_superpixels: int) -> Tuple[int, int, float]:
     return gh, gw, s
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3))
 def slic(
     lab: jnp.ndarray,
     n_superpixels: int,
     ruler: float = 10.0,
     n_iter: int = 10,
-    min_size_frac: float = 0.0,  # reserved; connectivity handled on host
 ) -> jnp.ndarray:
     """(H, W, 3) Lab image -> (H, W) int32 superpixel labels in [0, gh*gw).
 
@@ -126,6 +136,203 @@ def slic(
 
     centroids = lax.fori_loop(0, n_iter, body, centroids)
     return assign(centroids).reshape(h, w).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Device (jit/batch) connectivity enforcement — the config3 graph path
+# ---------------------------------------------------------------------------
+
+
+def _shift1d(x: jnp.ndarray, k: int, axis: int, fill) -> jnp.ndarray:
+    """out[i] = x[i - k] along ``axis`` (k may be negative), ``fill`` outside."""
+    nd = x.ndim
+    pad = [(0, 0)] * nd
+    pad[axis] = (max(0, k), max(0, -k))
+    xp = jnp.pad(x, pad, constant_values=fill)
+    starts = [0] * nd
+    starts[axis] = max(0, -k)
+    sizes = list(x.shape)
+    return lax.dynamic_slice(xp, starts, sizes)
+
+
+def _run_extreme(
+    vals: jnp.ndarray, keys: jnp.ndarray, axis: int, mode: str
+) -> jnp.ndarray:
+    """Min or max of ``vals`` over each position's maximal equal-``keys`` run
+    along ``axis``.
+
+    Prefix-doubling with static shifts (log2(n) unrolled steps of shifted
+    select/min — pure elementwise ops XLA fuses well). The earlier
+    lax.cummin + run-id-key formulation measured ~2 ms per fixpoint
+    iteration on TPU (cummin's lowering dominates); this form is a few
+    fused elementwise passes.
+    """
+    n = vals.shape[axis]
+    if mode == "min":
+        fill, combine = _RUN_BIG, jnp.minimum
+    else:
+        fill, combine = -_RUN_BIG, jnp.maximum
+    out = vals
+    for direction in (1, -1):
+        same = _shift1d(keys, direction, axis, -1) == keys  # neighbor in-run
+        v, ok = vals, same
+        k = 1
+        while k < n:
+            v = jnp.where(ok, combine(v, _shift1d(v, direction * k, axis, fill)), v)
+            ok = ok & _shift1d(ok, direction * k, axis, False)
+            k *= 2
+        out = combine(out, v)
+    return out
+
+
+_RUN_BIG = jnp.int32(2**30)
+
+
+def _pass_extreme(
+    vals: jnp.ndarray, keys: jnp.ndarray, mode: str
+) -> jnp.ndarray:
+    """One H-then-V run-extreme sweep over (B, H, W) arrays."""
+    v = _run_extreme(vals, keys, axis=2, mode=mode)
+    return _run_extreme(v, keys, axis=1, mode=mode)
+
+
+def connected_components(labels: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) int32 labels -> (B, H, W) int32 component ids.
+
+    4-connected components of equal-label regions; each component's id is
+    the minimum flat pixel index it contains (so ids are deterministic and
+    directly comparable with the numpy mirror). Alternating row/column
+    run-min sweeps iterate to a fixed point inside jit — each sweep moves
+    the min across a whole same-label run, so convergence needs one
+    iteration per "bend" of the component shape, not per pixel."""
+    b, h, w = labels.shape
+    comp0 = jnp.broadcast_to(
+        jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w), (b, h, w)
+    )
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        comp, _ = state
+        new = _pass_extreme(comp, labels, "min")
+        return new, jnp.any(new != comp)
+
+    comp, _ = lax.while_loop(
+        cond, body, (_pass_extreme(comp0, labels, "min"), True)
+    )
+    return comp
+
+
+def _propagate_in_components(seed: jnp.ndarray, comp: jnp.ndarray) -> jnp.ndarray:
+    """Spread each component's root value to all its pixels.
+
+    seed: (B, H, W) int32, the value at each component's root pixel and -1
+    elsewhere -> every pixel of the component carries the root's value
+    (run-max sweeps over equal-``comp`` runs to a fixed point; a root value
+    reaches any pixel along the same scan path that built ``comp``)."""
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        v, _ = state
+        new = _pass_extreme(v, comp, "max")
+        return new, jnp.any(new != v)
+
+    v, _ = lax.while_loop(cond, body, (_pass_extreme(seed, comp, "max"), True))
+    return v
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """out[..., y, x] = x[..., y+dy, x+dx], ``fill`` outside the image."""
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (max(0, -dy), max(0, dy)),
+        (max(0, -dx), max(0, dx)),
+    ]
+    xp = jnp.pad(x, pad, constant_values=fill)
+    h, w = x.shape[-2], x.shape[-1]
+    y0 = max(dy, 0)  # start into the padded array: top pad absorbs dy < 0
+    x0 = max(dx, 0)
+    return lax.slice(
+        xp, (0,) * (x.ndim - 2) + (y0, x0),
+        xp.shape[:-2] + (y0 + h, x0 + w),
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def enforce_connectivity_device(
+    labels: jnp.ndarray,
+    n_sp: int,
+    min_size: int | None = None,
+    s_max: int | None = None,
+) -> jnp.ndarray:
+    """(B, H, W) int32 SLIC labels -> (B, H, W) 4-connected superpixels,
+    cv2 ``enforceLabelConnectivity`` semantics (slic.hpp:127-136):
+
+      1. 4-connected components of equal labels (``connected_components``).
+      2. Components of >= ``min_size`` pixels (default: cell area / 4, like
+         the host pass) SURVIVE and are renumbered densely in raster order
+         of their root pixels — cv2 renumbers the same way, so a label
+         split into several large fragments yields several superpixels.
+      3. Smaller components are absorbed by iterated adoption: a non-kept
+         pixel takes the label of its first kept 4-neighbor in the fixed
+         priority up, left, right, down (Jacobi update — all adoptions in
+         an iteration read the previous state). Adoption only attaches
+         pixels to already-connected regions, so the output is 4-connected
+         by construction.
+
+    Output ids lie in [0, s_max); ``s_max`` (default n_sp, keeping every
+    downstream graph tensor's shape unchanged) caps the survivor count —
+    raster-later survivors beyond the cap are absorbed instead
+    (deterministic, mirrored by the golden pass; in practice survivors
+    ~<= n_sp since min-size absorption removes far more ids than splitting
+    adds — cv2 itself renumbers into a caller budget the same way).
+
+    Mirrored bit-for-bit by golden/graph.py::enforce_connectivity_golden.
+    """
+    b, h, w = labels.shape
+    n = h * w
+    if min_size is None:
+        min_size = max(1, n // n_sp // 4)
+    if s_max is None:
+        s_max = n_sp
+
+    comp = connected_components(labels)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    comp_flat = comp.reshape(b, n)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    is_root = comp_flat == idx  # component ids ARE root flat indices
+    # component sizes land at root pixels (aligned — no gather needed)
+    counts = jnp.zeros((b, n), jnp.int32).at[bidx, comp_flat].add(1)
+    survives = is_root & (counts >= min_size)
+    newid = jnp.cumsum(survives.astype(jnp.int32), axis=1) - 1  # raster order
+    survives = survives & (newid < s_max)
+    seed = jnp.where(survives, newid, -1).reshape(b, h, w)
+    lab = _propagate_in_components(seed, comp)  # -1 on absorbed fragments
+
+    kept = lab >= 0
+
+    def cond(state):
+        _, kept = state
+        return ~jnp.all(kept)
+
+    def body(state):
+        lab, kept = state
+        cand = lab
+        have = jnp.zeros_like(kept)
+        # reverse priority order so the first-listed neighbor wins the where
+        for dy, dx in ((1, 0), (0, 1), (0, -1), (-1, 0)):  # down,right,left,up
+            nl = _shift2d(lab, dy, dx, 0)
+            nk = _shift2d(kept, dy, dx, False)
+            cand = jnp.where(nk, nl, cand)
+            have = have | nk
+        adopt = (~kept) & have
+        return jnp.where(adopt, cand, lab), kept | adopt
+    lab, _ = lax.while_loop(cond, body, (lab, kept))
+    return lab
 
 
 def enforce_connectivity(labels: np.ndarray, min_size: int | None = None) -> np.ndarray:

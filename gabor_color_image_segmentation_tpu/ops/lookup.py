@@ -79,3 +79,18 @@ def table_lookup(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() == "tpu":
         return _lookup_tpu(idx, table)
     return jax.vmap(lambda i, t: t[i])(idx, table).astype(jnp.int32)
+
+
+def table_lookup_int(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Exact lookup for int32 table values up to 2^24: splits the table into
+    256-sized digits (each bf16-exact) and recombines — two kernel matvecs.
+
+    Used where the table holds pixel-index-scale values (e.g. per-label root
+    component ids in the SLIC connectivity pass), which overflow bf16's
+    integer range."""
+    if jax.default_backend() != "tpu":
+        return jax.vmap(lambda i, t: t[i])(idx, table).astype(jnp.int32)
+    hi = _lookup_tpu(idx, table // 65536)
+    mid = _lookup_tpu(idx, (table // 256) % 256)
+    lo = _lookup_tpu(idx, table % 256)
+    return hi * 65536 + mid * 256 + lo

@@ -63,6 +63,69 @@ def slic_golden(
     return assign(centroids).reshape(h, w).astype(np.int32)
 
 
+def enforce_connectivity_golden(
+    labels: np.ndarray,
+    n_sp: int | None = None,
+    min_size: int | None = None,
+    s_max: int | None = None,
+) -> np.ndarray:
+    """Numpy mirror of models.slic.enforce_connectivity_device — the SAME
+    cv2-shaped rule, bit for bit: components >= min_size survive and are
+    renumbered densely in raster (root-pixel) order, capped at s_max;
+    smaller fragments absorbed by Jacobi-iterated adoption with neighbor
+    priority up, left, right, down."""
+    from scipy import ndimage
+
+    h, w = labels.shape
+    n = h * w
+    if n_sp is None:
+        n_sp = int(labels.max()) + 1
+    if min_size is None:
+        min_size = max(1, n // n_sp // 4)
+    if s_max is None:
+        s_max = n_sp
+    idx = np.arange(n, dtype=np.int64).reshape(h, w)
+    comp = np.empty((h, w), np.int64)
+    structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for v in np.unique(labels):
+        mask = labels == v
+        cc, ncc = ndimage.label(mask, structure=structure)
+        mins = ndimage.minimum(idx, cc, index=np.arange(1, ncc + 1))
+        comp[mask] = np.asarray(mins)[cc[mask] - 1]
+
+    counts = np.bincount(comp.reshape(-1), minlength=n)  # size at root index
+    roots = np.flatnonzero(counts >= min_size)  # surviving roots, raster order
+    roots = roots[:s_max]
+    newid = np.full(n, -1, np.int64)
+    newid[roots] = np.arange(len(roots))
+    lab = newid[comp].astype(np.int32)  # -1 on absorbed fragments
+    kept = lab >= 0
+
+    while not kept.all():
+        cand = lab.copy()
+        have = np.zeros_like(kept)
+
+        def shift(x, dy, dx, fill):
+            out = np.full_like(x, fill)
+            ys = slice(max(0, -dy), h - max(0, dy))
+            xs = slice(max(0, -dx), w - max(0, dx))
+            yd = slice(max(0, dy), h - max(0, -dy))
+            xd = slice(max(0, dx), w - max(0, -dx))
+            out[ys, xs] = x[yd, xd]
+            return out
+
+        # reverse priority order so the first-listed neighbor wins
+        for dy, dx in ((1, 0), (0, 1), (0, -1), (-1, 0)):  # down,right,left,up
+            nl = shift(lab, dy, dx, 0)
+            nk = shift(kept, dy, dx, False)
+            cand = np.where(nk, nl, cand)
+            have = have | nk
+        adopt = (~kept) & have
+        lab = np.where(adopt, cand, lab)
+        kept = kept | adopt
+    return lab
+
+
 def ncut_golden(
     features: np.ndarray,
     sp: np.ndarray,
