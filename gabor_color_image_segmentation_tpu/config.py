@@ -98,6 +98,23 @@ class BankConfig:
             h = max(h, ksize // 2 + self.smooth_radius_for(sigma))
         return h
 
+    @property
+    def max_conv_radius(self) -> int:
+        """Largest conv (envelope) radius — the INPUT halo of the two-level
+        tiled exchange (parallel/tiling.py exchanges input rows for the conv
+        stage and magnitude rows for the smoothing stage separately, so the
+        border contract — reflect the MAGNITUDE map — holds exactly)."""
+        return max(ksize // 2 for _, _, _, ksize in self.kernel_params())
+
+    @property
+    def max_smooth_radius(self) -> int:
+        """Largest smoothing radius — the MAGNITUDE halo of the two-level
+        tiled exchange."""
+        return max(
+            self.smooth_radius_for(sigma)
+            for sigma, _, _, _ in self.kernel_params()
+        )
+
 
 # ---------------------------------------------------------------------------
 # Clustering
@@ -111,6 +128,20 @@ class ClusterConfig:
     method: str = "kmeans"  # "kmeans" | "gmm"
     k: int = 5
     n_iter: int = 25  # Lloyd iterations / EM iterations
+    # Multigrid Lloyd schedule (k-means only): when coarse_iters > 0, the
+    # solver seeds + runs ``coarse_iters`` Lloyd iterations on the 2x2
+    # mean-pooled pixel grid (1/4 the HBM traffic per pass; pooled features
+    # are exact block means, computed in f32), then refines with up to
+    # ``refine_iters`` full-resolution iterations (early exit at the Lloyd
+    # fixed point) and assigns labels at full resolution. Deterministic
+    # schedule, mirrored bit-for-bit by golden/cluster.py — measured PRI
+    # equal-or-better vs 25 full iterations (experiments/exp_multigrid.py)
+    # at ~1/3 the solver cost. 0 = classic single-grid Lloyd (n_iter).
+    # Premise: 2x2 neighbors have similar features (true for image
+    # pipelines; a spatially-shuffled feature matrix would make the pooled
+    # warmup useless — tests/test_kmeans.py documents the failure mode).
+    coarse_iters: int = 0
+    refine_iters: int = 10
     subsample: int = 1  # fit Lloyd on every n-th pixel (1 = exact; speed knob)
     # maximin init seeds from every n-th pixel; the golden path mirrors the
     # identical subset, so parity is exact at any value. The farthest-point
@@ -219,7 +250,13 @@ PRESETS: dict[str, PipelineConfig] = {
     "config1": PipelineConfig(
         name="config1",
         bank=_FULL_BANK,
-        cluster=ClusterConfig(method="kmeans", k=5),
+        # multigrid Lloyd (see ClusterConfig): 15 pooled + <=5 full-res
+        # iterations — measured PRI equal-or-better than 25 full iterations
+        # on the synthetic eval at ~1/3 the solver cost; golden mirrors the
+        # identical schedule (experiments/exp_multigrid.py)
+        cluster=ClusterConfig(
+            method="kmeans", k=5, coarse_iters=15, refine_iters=5
+        ),
         graph=GraphConfig(enabled=False),
         batch_size=16,
     ),

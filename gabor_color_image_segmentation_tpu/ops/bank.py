@@ -104,6 +104,14 @@ class GaborBank:
     def max_halo(self) -> int:
         return max(g.ksize // 2 + g.smooth_radius for g in self.groups)
 
+    @property
+    def max_conv_radius(self) -> int:
+        return max(g.ksize // 2 for g in self.groups)
+
+    @property
+    def max_smooth_radius(self) -> int:
+        return max(g.smooth_radius for g in self.groups)
+
     def complex_kernels(self) -> List[np.ndarray]:
         """Flat list of complex kernels in kernel-index order (golden path)."""
         out: List[np.ndarray] = [None] * self.n_kernels  # type: ignore

@@ -42,20 +42,25 @@ def _envelope_taps(sigma: float, radius: int) -> np.ndarray:
 
 
 def _sep_1d(x: jnp.ndarray, taps: jnp.ndarray, axis: int, dtype) -> jnp.ndarray:
-    """VALID depthwise 1-D correlation along H (axis=1) or W (axis=2)."""
-    c = x.shape[-1]
+    """VALID depthwise 1-D correlation along H (axis=1) or W (axis=2).
+
+    Deliberately an ORDERED unrolled shift-multiply-add, not
+    lax.conv_general_dilated: the conv lowering's accumulation order varies
+    with the input SHAPE (measured ~1e-3 absolute drift between a 256-row
+    image and its 32-row strips), which breaks the bitwise tiled==untiled
+    contract (parallel/tiling.py). Tap-ordered f32 accumulation is
+    shape-independent, so strips and whole images produce identical floats;
+    XLA fuses the k-term elementwise chain into one pass."""
     k = taps.shape[0]
-    shape = (k, 1, 1, 1) if axis == 1 else (1, k, 1, 1)
-    f = jnp.tile(taps.reshape(shape), (1, 1, 1, c))
-    return lax.conv_general_dilated(
-        x.astype(dtype),
-        f.astype(dtype),
-        (1, 1),
-        "VALID",
-        dimension_numbers=_DN,
-        feature_group_count=c,
-        preferred_element_type=jnp.float32,
-    )
+    n = x.shape[axis]
+    xs = x.astype(dtype)
+    taps = taps.astype(dtype)
+    acc = None
+    for t in range(k):
+        sl = lax.slice_in_dim(xs, t, t + n - k + 1, axis=axis)
+        term = (taps[t] * sl).astype(jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def group_frequencies(group: ScaleGroup, bank: GaborBank) -> np.ndarray:
@@ -84,29 +89,49 @@ def _dc_mu(group: ScaleGroup, bank: GaborBank) -> np.ndarray:
     return np.asarray(mus, np.float32)
 
 
-def modulated_group_energies(
-    img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype=jnp.float32
+def modulated_group_magnitudes(
+    img: jnp.ndarray,
+    group: ScaleGroup,
+    bank: GaborBank,
+    dtype=jnp.float32,
+    h_halo: int = 0,
+    y0=0,
 ) -> jnp.ndarray:
-    """Energies for one scale group via modulation. img: (B,H,W,C) ->
-    (B,H,W,C*n_g) smoothed energies (channel-major, group-kernel minor) —
-    identical values (up to float assoc) to features._group_energies."""
+    """DC-corrected response magnitudes for one scale group (pre-smoothing).
+
+    img: (B, H_in, W, C) -> (B, H_out, W, n_g*C) magnitudes, contract order.
+
+    Spatial-tiling hooks (parallel/tiling.py, two-level halo exchange):
+      * ``h_halo`` — the input already carries ``h_halo >= p`` REAL neighbor
+        rows on both H sides (H_out = H_in - 2*h_halo); no internal H
+        padding happens, so interior-seam magnitudes equal the untiled run
+        bitwise. h_halo=0 (default) reflect-pads H internally.
+      * ``y0`` — GLOBAL image row of output row 0. The modulation /
+        demodulation phases use global coordinates, so a strip's plane-wave
+        values are bitwise-identical to the untiled run's (the phase shift
+        cancels only in exact arithmetic, not in float).
+    """
     if bank.config.gamma != 1.0:
         raise ValueError("modulated path requires isotropic envelope gamma=1")
-    b, h, w, c = img.shape
+    b, h_in, w, c = img.shape
     n = len(group.kernel_indices)
     p = group.ksize // 2
-    r = group.smooth_radius
 
     env = jnp.asarray(_envelope_taps(group.sigma, p))
-    smooth = jnp.asarray(group.smooth_taps)
     freqs = group_frequencies(group, bank)  # (n, 2) [wx, wy]
     mus = jnp.asarray(_dc_mu(group, bank))  # (n,)
 
-    # pad once with the full halo needed by conv (p); smoothing pads again
-    xpad = _reflect_pad(img, p, p)  # (B, H+2p, W+2p, C)
+    if h_halo:
+        if h_halo < p:
+            raise ValueError(f"h_halo {h_halo} < conv radius {p}")
+        h = h_in - 2 * h_halo
+        xpad = _reflect_pad(img[:, h_halo - p : h_in - (h_halo - p)], 0, p)
+    else:
+        h = h_in
+        xpad = _reflect_pad(img, p, p)  # (B, H+2p, W+2p, C)
 
-    # plane waves over PADDED coords (q runs from -p relative to image origin)
-    yy = jnp.arange(-p, h + p, dtype=jnp.float32).reshape(-1, 1)
+    # plane waves over PADDED coords (q runs from y0-p in global rows)
+    yy = (jnp.arange(-p, h + p, dtype=jnp.float32) + y0).reshape(-1, 1)
     xx = jnp.arange(-p, w + p, dtype=jnp.float32).reshape(1, -1)
     wx = jnp.asarray(freqs[:, 0], jnp.float32).reshape(1, 1, -1)
     wy = jnp.asarray(freqs[:, 1], jnp.float32).reshape(1, 1, -1)
@@ -138,12 +163,40 @@ def modulated_group_energies(
     re = re - mus.reshape(1, 1, 1, 1, -1) * box[..., None]
     # (B,H,W,C,n) -> contract order: kernel-major, channel-minor
     mag = jnp.sqrt(re * re + im * im)
-    mag = jnp.transpose(mag, (0, 1, 2, 4, 3)).reshape(b, h, w, n * c)
+    return jnp.transpose(mag, (0, 1, 2, 4, 3)).reshape(b, h, w, n * c)
 
-    # Gaussian energy smoothing (normalized taps), reflect-padded
-    s = _sep_1d(_reflect_pad(mag, r, 0), smooth, 1, dtype)
+
+def smooth_group_magnitudes(
+    mag: jnp.ndarray, group: ScaleGroup, dtype=jnp.float32, h_halo: int = 0
+) -> jnp.ndarray:
+    """Gaussian energy smoothing of a group's magnitude maps.
+
+    h_halo=0: reflect-pads H (the border contract: reflect the MAGNITUDE
+    map). h_halo>0: the input carries h_halo >= r magnitude rows on both H
+    sides (real neighbor rows — or, at a true border, the caller's
+    REFLECT_101 of owned magnitudes, which IS the contract); no internal H
+    padding. W always reflect-pads locally (W is never sharded)."""
+    r = group.smooth_radius
+    smooth = jnp.asarray(group.smooth_taps)
+    if h_halo:
+        if h_halo < r:
+            raise ValueError(f"h_halo {h_halo} < smooth radius {r}")
+        m = mag[:, h_halo - r : mag.shape[1] - (h_halo - r)]
+    else:
+        m = _reflect_pad(mag, r, 0)
+    s = _sep_1d(m, smooth, 1, dtype)
     s = _sep_1d(_reflect_pad(s, 0, r), smooth, 2, dtype)
     return s
+
+
+def modulated_group_energies(
+    img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Energies for one scale group via modulation. img: (B,H,W,C) ->
+    (B,H,W,C*n_g) smoothed energies (channel-major, group-kernel minor) —
+    identical values (up to float assoc) to features._group_energies."""
+    mag = modulated_group_magnitudes(img, group, bank, dtype)
+    return smooth_group_magnitudes(mag, group, dtype)
 
 
 def gabor_energies_mod(

@@ -41,8 +41,13 @@ from gabor_color_image_segmentation_tpu.ops.bank import GaborBank
 def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     """x: (rows, W, C) local strip -> (rows + 2*halo, W, C) with neighbor rows.
 
-    Boundary devices get reflect-padding (REFLECT_101) instead of a neighbor,
-    reproducing the untiled border semantics exactly.
+    Boundary devices get REFLECT_101 of the LOCAL array instead of a
+    neighbor. Used at two levels (the key to exact borders): exchanging
+    INPUT rows before the conv stage (reflected input == the conv border
+    contract) and exchanging MAGNITUDE rows before the smoothing stage
+    (reflected magnitudes == the smoothing border contract — reflecting
+    input there instead is wrong for diagonal orientations, the round-1
+    approximation this two-level scheme removed).
     """
     idx = lax.axis_index(axis_name)
     n = lax.axis_size(axis_name)
@@ -55,20 +60,74 @@ def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarra
     from_next = lax.ppermute(
         x[:halo], axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
-    # REFLECT_101 local fallback at the outer borders. Known approximation:
-    # the border contract reflects the MAGNITUDE map, and for diagonal
-    # orientations mag(conv(reflect(input))) != reflect(mag(conv(input))) —
-    # measured error in the outermost rows of the first/last strip: <= 1.5%
-    # of the energy scale at row 0, decaying to float noise by row ~10;
-    # tiled-vs-untiled label agreement stays > 0.999 (tests/test_tiling.py).
-    # The intra-chip tiler (ops/tiled.py) avoids this entirely by clamping
-    # windows at true borders — adopt the same scheme here if border-exact
-    # multi-chip output is ever required.
     top_reflect = x[1 : halo + 1][::-1]
     bot_reflect = x[-halo - 1 : -1][::-1]
     top = jnp.where(idx == 0, top_reflect, from_prev)
     bot = jnp.where(idx == n - 1, bot_reflect, from_next)
     return jnp.concatenate([top, x, bot], axis=0)
+
+
+def _strip_features(
+    rgb_strip: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
+    axis_name: str,
+) -> jnp.ndarray:
+    """(rows, W, 3) sRGB strip -> (rows, W, D) standardized features, BITWISE
+    equal to the untiled path's rows (tests/test_tiling.py pins exactness).
+
+    Two-level halo exchange: (1) input rows (conv radius) -> per-group
+    DC-corrected magnitudes of the OWNED rows, with plane-wave phases in
+    GLOBAL row coordinates (a strip-local origin differs from the untiled
+    values by float rounding of the phase shift); (2) magnitude rows
+    (smoothing radius) -> smoothing, with true borders reflecting the
+    magnitude map exactly like the untiled run. Feature standardization
+    uses psum'd global moments."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
+    from gabor_color_image_segmentation_tpu.ops.modulated import (
+        modulated_group_magnitudes,
+        smooth_group_magnitudes,
+    )
+
+    p = bank.max_conv_radius
+    r = bank.max_smooth_radius
+    rows, w, _ = rgb_strip.shape
+
+    color = _color_transform(rgb_strip, cfg.color_space)
+    row0 = (lax.axis_index(axis_name) * rows).astype(jnp.float32)
+    colorh = _halo_exchange_rows(color, p, axis_name)
+    mags = [
+        modulated_group_magnitudes(
+            colorh[None], g, bank, jnp.float32, h_halo=p, y0=row0
+        )[0]
+        for g in bank.groups
+    ]
+    magh = _halo_exchange_rows(jnp.concatenate(mags, axis=-1), r, axis_name)
+    outs, off = [], 0
+    for g, m in zip(bank.groups, mags):
+        e = m.shape[-1]
+        outs.append(
+            smooth_group_magnitudes(
+                magh[None, :, :, off : off + e], g, jnp.float32, h_halo=r
+            )[0]
+        )
+        off += e
+    energies = jnp.concatenate(outs, axis=-1)
+
+    feats = jnp.concatenate([energies, color], axis=-1)
+    if cfg.cluster.normalize:
+        cnt = feats.shape[0] * feats.shape[1]
+        total = lax.psum(cnt, axis_name)
+        mean = lax.psum(jnp.sum(feats, axis=(0, 1)), axis_name) / total
+        var = (
+            lax.psum(jnp.sum((feats - mean) ** 2, axis=(0, 1)), axis_name)
+            / total
+        )
+        feats = (feats - mean) / (jnp.sqrt(var) + 1e-6)
+    e = energies.shape[-1]
+    cw = cfg.cluster.color_weight * float(np.sqrt(e / 3.0))
+    scale = jnp.concatenate(
+        [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
+    )
+    return feats * scale
 
 
 def _global_maximin(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
@@ -151,6 +210,21 @@ def kmeans_sharded(
     return labels, centers
 
 
+
+
+def _check_strip(rows: int, bank: GaborBank, axis_name: str) -> None:
+    """Single-hop ppermute needs strips taller than each exchange's halo.
+    Two-level exchange relaxes the old (conv + smooth) bound to
+    max(conv, smooth)."""
+    halo = max(bank.max_conv_radius, bank.max_smooth_radius)
+    if halo >= rows:
+        raise ValueError(
+            f"halo {halo} >= strip height {rows}: single-hop ppermute halo "
+            f"exchange needs taller strips — use fewer devices along "
+            f"{axis_name!r} or a smaller-scale bank"
+        )
+
+
 def segment_tiled(
     rgb: jnp.ndarray,
     cfg: PipelineConfig,
@@ -163,45 +237,14 @@ def segment_tiled(
     clustering globally consistent via psum."""
     from jax import shard_map
 
-    from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
-    from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
-
     h, w, _ = rgb.shape
     n_dev = mesh.shape[axis_name]
     assert h % n_dev == 0, f"H={h} must divide over {n_dev} devices"
-    halo = bank.max_halo
-    if halo >= h // n_dev:
-        raise ValueError(
-            f"halo {halo} >= strip height {h // n_dev}: single-hop ppermute "
-            f"halo exchange needs strips taller than the bank halo — use "
-            f"fewer devices along {axis_name!r} or a smaller-scale bank"
-        )
+    _check_strip(h // n_dev, bank, axis_name)
 
     def local_fn(rgb_strip):
         # rgb_strip: (rows, W, 3) uint8/float
-        color = _color_transform(rgb_strip, cfg.color_space)
-        colorh = _halo_exchange_rows(color, halo, axis_name)
-        energies = gabor_energies_mod(colorh[None], bank)[0]
-        energies = energies[halo:-halo]  # crop to owned rows
-
-        # per-image standardization needs GLOBAL moments
-        feats = jnp.concatenate([energies, color], axis=-1)
-        if cfg.cluster.normalize:
-            cnt = feats.shape[0] * feats.shape[1]
-            total = lax.psum(cnt, axis_name)
-            mean = lax.psum(jnp.sum(feats, axis=(0, 1)), axis_name) / total
-            var = (
-                lax.psum(jnp.sum((feats - mean) ** 2, axis=(0, 1)), axis_name)
-                / total
-            )
-            feats = (feats - mean) / (jnp.sqrt(var) + 1e-6)
-        e = energies.shape[-1]
-        cw = cfg.cluster.color_weight * float(np.sqrt(e / 3.0))
-        scale = jnp.concatenate(
-            [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
-        )
-        feats = feats * scale
-
+        feats = _strip_features(rgb_strip, cfg, bank, axis_name)
         rows = feats.shape[0]
         labels, _ = kmeans_sharded(
             feats.reshape(rows * w, -1),
@@ -235,32 +278,9 @@ def tiled_batch_fn(
     only tiny (n_dev, D)-sized all-gathers from the maximin seeding."""
     from jax import shard_map
 
-    from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
-    from gabor_color_image_segmentation_tpu.ops.modulated import gabor_energies_mod
-
-    halo = bank.max_halo
-
     def per_image(rgb_strip):
         w = rgb_strip.shape[1]
-        color = _color_transform(rgb_strip, cfg.color_space)
-        colorh = _halo_exchange_rows(color, halo, space_axis)
-        energies = gabor_energies_mod(colorh[None], bank)[0][halo:-halo]
-        feats = jnp.concatenate([energies, color], axis=-1)
-        if cfg.cluster.normalize:
-            cnt = feats.shape[0] * feats.shape[1]
-            total = lax.psum(cnt, space_axis)
-            mean = lax.psum(jnp.sum(feats, axis=(0, 1)), space_axis) / total
-            var = (
-                lax.psum(jnp.sum((feats - mean) ** 2, axis=(0, 1)), space_axis)
-                / total
-            )
-            feats = (feats - mean) / (jnp.sqrt(var) + 1e-6)
-        e = energies.shape[-1]
-        cw = cfg.cluster.color_weight * float(np.sqrt(e / 3.0))
-        scale = jnp.concatenate(
-            [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
-        )
-        feats = feats * scale
+        feats = _strip_features(rgb_strip, cfg, bank, space_axis)
         rows = feats.shape[0]
         labels, _ = kmeans_sharded(
             feats.reshape(rows * w, -1),
@@ -304,9 +324,5 @@ def segment_tiled_batch(
     n_s = mesh.shape[space_axis]
     assert b % n_b == 0, f"B={b} must divide over {n_b} batch shards"
     assert h % n_s == 0, f"H={h} must divide over {n_s} space shards"
-    halo = bank.max_halo
-    if halo >= h // n_s:
-        raise ValueError(
-            f"halo {halo} >= strip height {h // n_s}; reduce {space_axis!r}"
-        )
+    _check_strip(h // n_s, bank, space_axis)
     return tiled_batch_fn(cfg, bank, mesh, batch_axis, space_axis)(rgb)
