@@ -479,9 +479,11 @@ def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.nda
     return centers.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def kmeans_fused_t(
-    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32, init_stride: int = 1
+    x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32,
+    init_stride: int = 1, hw: Tuple[int, int] = None, coarse_iters: int = 0,
+    refine_iters: int = 10,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v3 fused Lloyd: transposed (D, N) layout, k on the 8-sublane axis.
 
@@ -493,21 +495,49 @@ def kmeans_fused_t(
 
     x: (B, N, D) -> (labels (B, N) int32, centers (B, k, D) f32). Requires
     k <= _K_PAD. Seeds/scores/tie-breaks match models.kmeans.kmeans.
+    coarse_iters > 0 (with hw): multigrid schedule, see kmeans_fused_t_xt.
     """
     if x.ndim == 2:
-        labels, centers = kmeans_fused_t(x[None], k, n_iter, dtype, init_stride)
+        labels, centers = kmeans_fused_t(
+            x[None], k, n_iter, dtype, init_stride, hw, coarse_iters,
+            refine_iters,
+        )
         return labels[0], centers[0]
     b, n, d = x.shape
     # transposed layout with a ones-row at index d (count accumulator), built
     # once per solve; every Lloyd pass then streams it a single time
     xt = build_xt(x, dtype)
-    return kmeans_fused_t_xt(xt, k, d, n, n_iter, init_stride)
+    return kmeans_fused_t_xt(
+        xt, k, d, n, n_iter, init_stride, hw, coarse_iters, refine_iters
+    )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _pool_xt(xt: jnp.ndarray, d: int, h: int, w: int):
+    """Pooled twin of the transposed buffer: (B, dp, n_pad) -> (B, dp, m_pad)
+    with columns = exact 2x2 pixel-block means (ordered f32 sum, matching
+    models.kmeans.pool2x2 / golden pool2x2_np). The ones-row pools to ones,
+    zero padding rows stay zero, so the pooled buffer is itself a valid
+    xt-layout buffer for the fused passes."""
+    b, dp, _ = xt.shape
+    h2, w2 = h // 2, w // 2
+    g = xt[:, :, : h * w].reshape(b, dp, h, w)
+    g = g[:, :, : 2 * h2, : 2 * w2].astype(jnp.float32)
+    s = (g[:, :, 0::2, 0::2] + g[:, :, 0::2, 1::2]) + (
+        g[:, :, 1::2, 0::2] + g[:, :, 1::2, 1::2]
+    )
+    pooled = (0.25 * s).astype(xt.dtype).reshape(b, dp, h2 * w2)
+    m = h2 * w2
+    block = _block_for_t(m, dp, jnp.dtype(xt.dtype).itemsize)
+    m_pad = -(-m // block) * block
+    xp = jnp.zeros((b, dp, m_pad), xt.dtype).at[:, :, :m].set(pooled)
+    return xp, m, block
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def kmeans_fused_t_xt(
     xt: jnp.ndarray, k: int, d: int, n: int, n_iter: int = 25,
-    init_stride: int = 1,
+    init_stride: int = 1, hw: Tuple[int, int] = None, coarse_iters: int = 0,
+    refine_iters: int = 10, xp: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve on a pre-built transposed buffer (xt_geometry layout).
 
@@ -515,7 +545,20 @@ def kmeans_fused_t_xt(
     d, zero padding elsewhere (see kmeans_fused_t, which builds it from
     (B, N, D); the transposed-assembly fast path in ops/features.py writes
     it directly from the feature kernel's channel-major output). Returns
-    (labels (B, n) int32, centers (B, k, d) f32)."""
+    (labels (B, n) int32, centers (B, k, d) f32).
+
+    Multigrid schedule (coarse_iters > 0, hw = (h, w) with n = h*w): seed +
+    run ``coarse_iters`` Lloyd passes on the 2x2-pooled buffer (1/4 HBM per
+    pass), then up to ``refine_iters`` full-resolution passes with the
+    fixed-point early exit. Deterministic; golden mirrors it; measured PRI
+    equal-or-better than 25 full passes (experiments/exp_multigrid.py).
+    ``n_iter`` is the full-resolution budget when multigrid is OFF.
+
+    ``xp``: optional pre-built pooled buffer in xt_geometry((h//2)*(w//2),
+    d) layout — the transposed pipeline builds it with MXU pooling matmuls
+    during assembly (ops/features.py::assemble_features_t_pooled), because
+    pooling the transposed buffer itself strides the lane axis (measured
+    ~26 ms at config1 scale vs ~3.6 for the assembly-side matmuls)."""
     if k > _K_PAD:
         raise ValueError(f"fused Lloyd supports k <= {_K_PAD}, got {k}")
     b, dp, n_pad = xt.shape
@@ -523,38 +566,63 @@ def kmeans_fused_t_xt(
     if n_pad % block:
         raise ValueError(f"xt lane dim {n_pad} not a multiple of block {block}")
     interpret = jax.default_backend() != "tpu"
-    if init_stride == 1:
-        # fused Pallas seeding: one HBM pass per seed, per-block argmax
-        # columns instead of full-array gathers (the XLA form measured ~2x
-        # slower inside the composed solver program)
-        centers0 = _maximin_init_t_fused(xt, k, n, block, interpret)
+    multigrid = coarse_iters > 0 and hw is not None
+    if multigrid and init_stride != 1:
+        raise ValueError("multigrid schedule requires init_stride == 1")
+
+    def solve(buf, blk, n_valid, c0, max_iter):
+        """Lloyd passes over one buffer until fixed point or max_iter."""
+        cpad = jnp.zeros((b, _K_PAD, dp), jnp.float32).at[:, :k].set(c0)
+        cpad = cpad.at[:, :, d].set(0.0)  # ones-row entry never enters scores
+
+        def update(centers_pad):
+            labels, sums = _lloyd_t_pass(buf, centers_pad, k, blk, n_valid,
+                                         interpret)
+            counts = sums[:, :, d]
+            new = sums / jnp.maximum(counts, 1.0)[:, :, None]
+            new = new.at[:, :, d].set(0.0)
+            new = jnp.where(counts[:, :, None] > 0, new, centers_pad)
+            return labels, new
+
+        def cond(carry):
+            _, _, _, go = carry
+            return go
+
+        def body(carry):
+            t, centers_pad, _, _ = carry
+            labels, upd = update(centers_pad)
+            new = jnp.where(t < max_iter, upd, centers_pad)
+            return t + 1, new, labels, jnp.any(new != centers_pad)
+
+        labels0 = jnp.zeros((b, buf.shape[2]), jnp.int32)
+        _, centers_pad, labels, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), cpad, labels0, True)
+        )
+        return labels, centers_pad
+
+    if multigrid:
+        h, w = hw
+        if xp is None:
+            xp, m, block_p = _pool_xt(xt, d, h, w)
+        else:
+            m = (h // 2) * (w // 2)
+            block_p = _block_for_t(m, dp, jnp.dtype(xt.dtype).itemsize)
+            if xp.shape[2] % block_p:
+                raise ValueError(
+                    f"xp lane dim {xp.shape[2]} not a multiple of {block_p}"
+                )
+        c0 = _maximin_init_t_fused(xp, k, m, block_p, interpret)
+        _, cpad_w = solve(xp, block_p, m, c0, coarse_iters)
+        labels, centers_pad = solve(xt, block, n, cpad_w[:, :k], refine_iters)
     else:
-        centers0 = _maximin_init_t(xt, k, n, init_stride)  # (B, k, dp) f32
-    cpad = jnp.zeros((b, _K_PAD, dp), jnp.float32).at[:, :k].set(centers0)
-    cpad = cpad.at[:, :, d].set(0.0)  # ones-row entry never enters scores
-
-    def update(centers_pad):
-        labels, sums = _lloyd_t_pass(xt, centers_pad, k, block, n, interpret)
-        counts = sums[:, :, d]
-        new = sums / jnp.maximum(counts, 1.0)[:, :, None]
-        new = new.at[:, :, d].set(0.0)  # keep the ones-row entry out of scores
-        new = jnp.where(counts[:, :, None] > 0, new, centers_pad)
-        return labels, new
-
-    def cond(carry):
-        _, _, _, go = carry
-        return go
-
-    def body(carry):
-        t, centers_pad, _, _ = carry
-        labels, upd = update(centers_pad)
-        new = jnp.where(t < n_iter, upd, centers_pad)
-        return t + 1, new, labels, jnp.any(new != centers_pad)
-
-    labels0 = jnp.zeros((b, n_pad), jnp.int32)
-    _, centers_pad, labels, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), cpad, labels0, True)
-    )
+        if init_stride == 1:
+            # fused Pallas seeding: one HBM pass per seed, per-block argmax
+            # columns instead of full-array gathers (the XLA form measured
+            # ~2x slower inside the composed solver program)
+            centers0 = _maximin_init_t_fused(xt, k, n, block, interpret)
+        else:
+            centers0 = _maximin_init_t(xt, k, n, init_stride)  # (B, k, dp)
+        labels, centers_pad = solve(xt, block, n, centers0, n_iter)
     return labels[:, :n], centers_pad[:, :k, :d]
 
 

@@ -229,6 +229,100 @@ def assemble_features_t(
     return xt
 
 
+def _pool2x2_cm(x_cm: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, H, W) channel-major -> (B, C, H//2, W//2) exact 2x2 means.
+
+    MXU matmuls against banded 0.5-weight pooling matrices: on TPU the
+    strided-slice form relayouts (~22 ms at config1 scale) and
+    reduce_window costs ~11 ms; the two dots measured ~3.6 ms. 0.5 weights
+    and bf16 inputs multiply exactly; accumulation is f32."""
+    b, c, h, w = x_cm.shape
+    h2, w2 = h // 2, w // 2
+    pv = np.zeros((h2, h), np.float32)
+    pv[np.arange(h2), 2 * np.arange(h2)] = 0.5
+    pv[np.arange(h2), 2 * np.arange(h2) + 1] = 0.5
+    ph = np.zeros((w, w2), np.float32)
+    ph[2 * np.arange(w2), np.arange(w2)] = 0.5
+    ph[2 * np.arange(w2) + 1, np.arange(w2)] = 0.5
+    mm = jnp.bfloat16 if x_cm.dtype == jnp.bfloat16 else x_cm.dtype
+    prec = (
+        jax.lax.Precision.HIGHEST if mm == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    v = jax.lax.dot_general(
+        jnp.asarray(pv, mm), x_cm, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (h2, B, C, W)
+    o = jax.lax.dot_general(
+        v.astype(mm), jnp.asarray(ph, mm), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (h2, B, C, w2)
+    return jnp.transpose(o, (1, 2, 0, 3)).astype(x_cm.dtype)
+
+
+def assemble_features_t_pooled(
+    energies_cm: jnp.ndarray,
+    color: jnp.ndarray,
+    cluster_cfg: ClusterConfig,
+    dp: int,
+    n_pad: int,
+    pooled_pad: int,
+    eps: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """assemble_features_t PLUS the 2x2-pooled twin buffer for the multigrid
+    Lloyd warmup (ClusterConfig.coarse_iters).
+
+    Returns (xt (B, dp, n_pad), xp (B, dp, pooled_pad)). Pooling happens on
+    the RAW channel-major energies/color (MXU pooling matmuls, _pool2x2_cm)
+    and the pooled rows are standardized with the FULL image's moments —
+    normalization is a per-row affine map, so this equals pooling the
+    normalized features (models.kmeans.pool2x2 semantics) exactly in real
+    arithmetic; float drift is ulp-level and covered by the label-agreement
+    floors."""
+    b, e, h, w = energies_cm.shape
+    n = h * w
+    d = e + 3
+    out_dtype = (
+        energies_cm.dtype if energies_cm.dtype == jnp.bfloat16
+        else jnp.float32
+    )
+    color_cm = jnp.transpose(color.astype(out_dtype), (0, 3, 1, 2))
+    feats_t = jnp.concatenate(
+        [energies_cm.astype(out_dtype), color_cm], axis=1
+    ).reshape(b, d, n)
+    # pool the KERNEL OUTPUT directly (contiguous) — pooling the concat
+    # instead forces XLA to materialize + relayout the fused feats buffer
+    # (measured ~29 ms extra at config1 scale)
+    pooled_e = _pool2x2_cm(energies_cm.astype(out_dtype))
+    pooled_c = _pool2x2_cm(color_cm)
+    pooled = jnp.concatenate([pooled_e, pooled_c], axis=1)  # (B, d, h2, w2)
+    m = pooled.shape[2] * pooled.shape[3]
+    pooled_t = pooled.reshape(b, d, m)
+
+    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
+    scale = jnp.concatenate(
+        [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
+    )[None, :, None]
+    if cluster_cfg.normalize:
+        mean = jnp.mean(feats_t, axis=2, keepdims=True, dtype=jnp.float32)
+        sq = jnp.mean(
+            jnp.square(feats_t.astype(jnp.float32)), axis=2, keepdims=True
+        )
+        std = jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
+        norm = (feats_t.astype(jnp.float32) - mean) / (std + eps) * scale
+        norm_p = (pooled_t.astype(jnp.float32) - mean) / (std + eps) * scale
+    else:
+        norm = feats_t.astype(jnp.float32) * scale
+        norm_p = pooled_t.astype(jnp.float32) * scale
+    xt = jnp.zeros((b, dp, n_pad), out_dtype)
+    xt = xt.at[:, :d, :n].set(norm.astype(out_dtype))
+    xt = xt.at[:, d, :n].set(1.0)
+    xp = jnp.zeros((b, dp, pooled_pad), out_dtype)
+    xp = xp.at[:, :d, :m].set(norm_p.astype(out_dtype))
+    xp = xp.at[:, d, :m].set(1.0)
+    return xt, xp
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _features_jit(lab, bank, cluster_cfg, dtype):
     energies = gabor_energies(lab, bank, dtype)

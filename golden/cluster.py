@@ -35,18 +35,47 @@ def maximin_init_np(x: np.ndarray, k: int) -> np.ndarray:
     return np.stack(centers).astype(x.dtype)
 
 
+def pool2x2_np(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(N=h*w, D) -> ((h//2)*(w//2), D) exact 2x2 block means; the numpy
+    mirror of models.kmeans.pool2x2 (identical f32 summation order)."""
+    h2, w2 = h // 2, w // 2
+    d = x.shape[-1]
+    g = x[: h * w].reshape(h, w, d)[: 2 * h2, : 2 * w2].astype(np.float32)
+    s = (g[0::2, 0::2] + g[0::2, 1::2]) + (g[1::2, 0::2] + g[1::2, 1::2])
+    return (0.25 * s).astype(x.dtype).reshape(h2 * w2, d)
+
+
+def kmeans_golden_multigrid(
+    x: np.ndarray, k: int, hw: tuple[int, int], coarse_iters: int,
+    refine_iters: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mirror of the device multigrid Lloyd schedule
+    (models/kmeans.py::kmeans_multigrid / kmeans_pallas multigrid): maximin
+    seed + coarse_iters Lloyd on the 2x2-pooled grid, then refine_iters
+    full-resolution Lloyd from the warm centers."""
+    x = x.astype(np.float32)
+    xp = pool2x2_np(x, *hw)
+    _, centers = kmeans_golden(xp, k, coarse_iters)
+    return kmeans_golden(x, k, refine_iters, centers0=centers)
+
+
 def kmeans_golden(
-    x: np.ndarray, k: int, n_iter: int = 25, init_stride: int = 1
+    x: np.ndarray, k: int, n_iter: int = 25, init_stride: int = 1,
+    centers0: np.ndarray = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd iterations from maximin init. x: (N,D) -> (labels (N,), centers (k,D)).
 
     Empty-cluster rule (shared contract): an empty cluster keeps its previous
     center. Distance = squared euclidean; label ties -> lowest center index
     (np.argmin behaviour, matches jnp.argmin). init_stride seeds maximin from
-    every n-th row — the identical subset the TPU path uses.
+    every n-th row — the identical subset the TPU path uses. centers0
+    overrides the init (the multigrid refine stage).
     """
     x = x.astype(np.float32)
-    centers = maximin_init_np(x[::init_stride], k).astype(np.float32)
+    if centers0 is None:
+        centers = maximin_init_np(x[::init_stride], k).astype(np.float32)
+    else:
+        centers = centers0.astype(np.float32).copy()
     labels = np.zeros(x.shape[0], dtype=np.int32)
     # assignment scores drop the per-pixel ||x||^2 (constant across centers)
     # — identical reduction to models/kmeans.py for label parity

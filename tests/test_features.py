@@ -88,3 +88,51 @@ def test_energy_index_helper(bank):
                 assert pos not in seen
                 seen.add(pos)
     assert seen == set(range(3 * bank.n_kernels))
+
+
+def test_assemble_pooled_matches_pool_of_normalized(small_mosaic):
+    """assemble_features_t_pooled's pooled buffer == pool2x2 of the
+    normalized features (normalization is per-row affine, so pooling
+    commutes; MXU pooling matmuls vs strided adds differ at ulp level)."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.config import ClusterConfig
+    from gabor_color_image_segmentation_tpu.models.kmeans import pool2x2
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        xt_geometry,
+    )
+    from gabor_color_image_segmentation_tpu.ops.features import (
+        assemble_features_t,
+        assemble_features_t_pooled,
+    )
+    from gabor_color_image_segmentation_tpu.ops.modulated import (
+        gabor_energies_mod,
+    )
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _color_transform,
+    )
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from gabor_color_image_segmentation_tpu.config import BankConfig
+
+    rgb, _ = small_mosaic
+    h, w = rgb.shape[:2]
+    bank = make_bank(BankConfig(scales=(2.0, 3.0), orientations=2))
+    color = _color_transform(jnp.asarray(rgb)[None], "lab")
+    e_nhwc = gabor_energies_mod(color, bank, jnp.float32)
+    e_cm = jnp.transpose(e_nhwc, (0, 3, 1, 2))
+    e = e_cm.shape[1]
+    d = e + 3
+    cc = ClusterConfig()
+    dp, n_pad, _ = xt_geometry(h * w, d, jnp.float32)
+    m = (h // 2) * (w // 2)
+    _, m_pad, _ = xt_geometry(m, d, jnp.float32)
+    xt, xp = assemble_features_t_pooled(e_cm, color, cc, dp, n_pad, m_pad)
+    xt_ref = assemble_features_t(e_cm, color, cc, dp, n_pad)
+    assert (np.asarray(xt) == np.asarray(xt_ref)).all()
+    # pooled twin vs pooling the normalized full-res features
+    full = np.asarray(xt)[0, :d, : h * w].T  # (N, D) normalized
+    ref = np.asarray(pool2x2(jnp.asarray(full), h, w))  # (m, D)
+    got = np.asarray(xp)[0, :d, :m].T
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    assert (np.asarray(xp)[0, d, :m] == 1.0).all()
+    assert (np.asarray(xp)[0, :, m:] == 0.0).all()

@@ -127,3 +127,74 @@ def test_fused_t_batched(rng):
         np.testing.assert_allclose(
             np.asarray(c_fused[i]), np.asarray(c_plain), atol=1e-3
         )
+
+
+def test_multigrid_matches_golden(rng):
+    """XLA multigrid schedule (pooled warmup + full-res refine) == the
+    golden mirror, label for label."""
+    from gabor_color_image_segmentation_tpu.models.kmeans import (
+        kmeans_multigrid,
+        pool2x2,
+    )
+    from golden.cluster import kmeans_golden_multigrid, pool2x2_np
+
+    h, w, d = 40, 50, 6
+    x, _ = _blobs(rng, n=h * w, k=4, d=d)
+    # pooling mirrors exactly
+    np.testing.assert_array_equal(
+        np.asarray(pool2x2(x, h, w)), pool2x2_np(x, h, w)
+    )
+    ours, c_ours = kmeans_multigrid(x, 4, (h, w), 8, 6)
+    gold, c_gold = kmeans_golden_multigrid(x, 4, (h, w), 8, 6)
+    agree = (np.asarray(ours) == gold).mean()
+    assert agree > 0.999, f"multigrid label agreement {agree}"
+    np.testing.assert_allclose(np.asarray(c_ours), c_gold, atol=1e-3)
+
+
+def test_multigrid_fused_matches_xla(rng):
+    """Fused (interpret-mode) multigrid == XLA multigrid on a batch."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_multigrid
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_fused_t,
+    )
+
+    h, w, d = 72, 64, 6  # n = 4608 >= the fused-path minimum problem size
+    xs = np.stack([_blobs(rng, n=h * w, k=4, d=d)[0] for _ in range(2)])
+    fused_l, fused_c = kmeans_fused_t(
+        jnp.asarray(xs), 4, 25, jnp.float32, 1, (h, w), 8, 6
+    )
+    for i in range(2):
+        xla_l, xla_c = kmeans_multigrid(xs[i], 4, (h, w), 8, 6)
+        agree = (np.asarray(fused_l[i]) == np.asarray(xla_l)).mean()
+        assert agree == 1.0, f"image {i}: fused-vs-XLA multigrid {agree}"
+        np.testing.assert_allclose(
+            np.asarray(fused_c[i]), np.asarray(xla_c), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_multigrid_quality_close_to_full(rng):
+    """Multigrid clusters as well as the full 25-iteration run on SPATIALLY
+    COHERENT features (inertia within 2%). The schedule's premise is that
+    2x2 neighbors are similar — true for image features, and exactly why it
+    is an image-pipeline option keyed on (h, w), not a generic k-means mode
+    (on spatially-shuffled blobs the pooled warmup averages unrelated
+    points and measured 3x worse inertia at a tight refine cap)."""
+    from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_multigrid
+
+    h, w, d, k = 60, 70, 8, 5
+    # piecewise-constant feature map (spatial patches) + noise
+    region = (np.arange(h)[:, None] // 12 * 7 + np.arange(w)[None, :] // 14) % k
+    centers = rng.normal(size=(k, d)) * 3.0
+    x = (
+        centers[region.reshape(-1)]
+        + rng.normal(size=(h * w, d)) * 0.3
+    ).astype(np.float32)
+    full_l, full_c = kmeans(x, k, 25)
+    mg_l, mg_c = kmeans_multigrid(x, k, (h, w), 10, 5)
+
+    def inertia(l, c):
+        return float(((x - np.asarray(c)[np.asarray(l)]) ** 2).sum())
+
+    assert inertia(mg_l, mg_c) <= inertia(full_l, full_c) * 1.02

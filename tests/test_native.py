@@ -32,7 +32,7 @@ def test_matches_python_fallback(rng):
         up = np.unique(pred, axis=0)
         ug = np.unique(gt, axis=0)
         n_pm2, n_gm2 = real(up, ug, tol)
-        pm_py, gm_py = boundary._match_one(pb, gb, tol)
+        pm_py, gm_py = boundary._match_one_greedy(pb, gb, tol)
         assert n_pm2.sum() == pm_py.sum()
         assert n_gm2.sum() == gm_py.sum()
     finally:
