@@ -206,27 +206,45 @@ def assemble_features_t(
             energies_cm.dtype if energies_cm.dtype == jnp.bfloat16
             else jnp.float32
         )
-    color_cm = jnp.transpose(color.astype(out_dtype), (0, 3, 1, 2))
-    feats_t = jnp.concatenate(
-        [energies_cm.astype(out_dtype), color_cm], axis=1
-    ).reshape(b, d, n)
-    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
-    scale = jnp.concatenate(
-        [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
-    )[None, :, None]
-    if cluster_cfg.normalize:
-        mean = jnp.mean(feats_t, axis=2, keepdims=True, dtype=jnp.float32)
-        sq = jnp.mean(
-            jnp.square(feats_t.astype(jnp.float32)), axis=2, keepdims=True
-        )
-        std = jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
-        norm = (feats_t.astype(jnp.float32) - mean) / (std + eps) * scale
-    else:
-        norm = feats_t.astype(jnp.float32) * scale
+    e_t = energies_cm.reshape(b, e, n)
+    c_t = jnp.transpose(color, (0, 3, 1, 2)).reshape(b, 3, n)
+    a_e, b_e, a_c, b_c = _norm_affine(e_t, c_t, cluster_cfg, eps)
+    # NO concat of energies+color (materializing the fused buffer measured
+    # ~3 ms extra) and normalization folded into one fma per part: two
+    # reads + the xt write, near the HBM floor
     xt = jnp.zeros((b, dp, n_pad), out_dtype)
-    xt = xt.at[:, :d, :n].set(norm.astype(out_dtype))
+    xt = xt.at[:, :e, :n].set(
+        (e_t.astype(jnp.float32) * a_e + b_e).astype(out_dtype)
+    )
+    xt = xt.at[:, e:d, :n].set(
+        (c_t.astype(jnp.float32) * a_c + b_c).astype(out_dtype)
+    )
     xt = xt.at[:, d, :n].set(1.0)
     return xt
+
+
+def _norm_affine(e_t: jnp.ndarray, c_t: jnp.ndarray, cluster_cfg, eps):
+    """Per-row affine (a, b) folding standardization + color weighting:
+    normalized = raw * a + b. e_t: (B, E, N); c_t: (B, 3, N)."""
+    e = e_t.shape[1]
+    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
+    if cluster_cfg.normalize:
+        def moments(x):
+            mean = jnp.mean(x, axis=2, keepdims=True, dtype=jnp.float32)
+            sq = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=2, keepdims=True
+            )
+            std = jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
+            return mean, std
+
+        m_e, s_e = moments(e_t)
+        m_c, s_c = moments(c_t)
+        a_e = 1.0 / (s_e + eps)
+        a_c = cw / (s_c + eps)
+        return a_e, -m_e * a_e, a_c, -m_c * a_c
+    ones = jnp.ones((1, e, 1), jnp.float32)
+    zeros = jnp.zeros((1, e, 1), jnp.float32)
+    return ones, zeros, jnp.full((1, 3, 1), cw, jnp.float32), zeros[:, :3]
 
 
 def _pool2x2_cm(x_cm: jnp.ndarray) -> jnp.ndarray:
@@ -286,39 +304,35 @@ def assemble_features_t_pooled(
         energies_cm.dtype if energies_cm.dtype == jnp.bfloat16
         else jnp.float32
     )
-    color_cm = jnp.transpose(color.astype(out_dtype), (0, 3, 1, 2))
-    feats_t = jnp.concatenate(
-        [energies_cm.astype(out_dtype), color_cm], axis=1
-    ).reshape(b, d, n)
-    # pool the KERNEL OUTPUT directly (contiguous) — pooling the concat
-    # instead forces XLA to materialize + relayout the fused feats buffer
-    # (measured ~29 ms extra at config1 scale)
-    pooled_e = _pool2x2_cm(energies_cm.astype(out_dtype))
-    pooled_c = _pool2x2_cm(color_cm)
-    pooled = jnp.concatenate([pooled_e, pooled_c], axis=1)  # (B, d, h2, w2)
-    m = pooled.shape[2] * pooled.shape[3]
-    pooled_t = pooled.reshape(b, d, m)
+    e_t = energies_cm.reshape(b, e, n)
+    color_cm = jnp.transpose(color, (0, 3, 1, 2))
+    c_t = color_cm.reshape(b, 3, n)
+    a_e, b_e, a_c, b_c = _norm_affine(e_t, c_t, cluster_cfg, eps)
 
-    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
-    scale = jnp.concatenate(
-        [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
-    )[None, :, None]
-    if cluster_cfg.normalize:
-        mean = jnp.mean(feats_t, axis=2, keepdims=True, dtype=jnp.float32)
-        sq = jnp.mean(
-            jnp.square(feats_t.astype(jnp.float32)), axis=2, keepdims=True
-        )
-        std = jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
-        norm = (feats_t.astype(jnp.float32) - mean) / (std + eps) * scale
-        norm_p = (pooled_t.astype(jnp.float32) - mean) / (std + eps) * scale
-    else:
-        norm = feats_t.astype(jnp.float32) * scale
-        norm_p = pooled_t.astype(jnp.float32) * scale
+    # pool the KERNEL OUTPUT directly (contiguous) — pooling a concatenated
+    # feats buffer forces XLA to materialize + relayout it (measured ~29 ms
+    # extra at config1 scale)
+    pooled_e = _pool2x2_cm(energies_cm)
+    pooled_c = _pool2x2_cm(color_cm)
+    m = pooled_e.shape[2] * pooled_e.shape[3]
+    pe_t = pooled_e.reshape(b, e, m)
+    pc_t = pooled_c.reshape(b, 3, m)
+
     xt = jnp.zeros((b, dp, n_pad), out_dtype)
-    xt = xt.at[:, :d, :n].set(norm.astype(out_dtype))
+    xt = xt.at[:, :e, :n].set(
+        (e_t.astype(jnp.float32) * a_e + b_e).astype(out_dtype)
+    )
+    xt = xt.at[:, e:d, :n].set(
+        (c_t.astype(jnp.float32) * a_c + b_c).astype(out_dtype)
+    )
     xt = xt.at[:, d, :n].set(1.0)
     xp = jnp.zeros((b, dp, pooled_pad), out_dtype)
-    xp = xp.at[:, :d, :m].set(norm_p.astype(out_dtype))
+    xp = xp.at[:, :e, :m].set(
+        (pe_t.astype(jnp.float32) * a_e + b_e).astype(out_dtype)
+    )
+    xp = xp.at[:, e:d, :m].set(
+        (pc_t.astype(jnp.float32) * a_c + b_c).astype(out_dtype)
+    )
     xp = xp.at[:, d, :m].set(1.0)
     return xt, xp
 
