@@ -1,0 +1,566 @@
+"""Relayout-free fused Lloyd on the feature kernel's native CHW layout.
+
+Why this exists: the v3 transposed solver (kmeans_pallas.py) is at the HBM
+floor PER PASS, but building its ``xt (B, dp, n_pad)`` buffer from the fused
+feature kernel's channel-major output ``(B, E, H, W)`` costs ~25 ms at
+config1 batch-16 — not arithmetic, pure RELAYOUT: TPU arrays tile the last
+two dims, so flattening (H, W) -> N moves every element from an (h, w) tile
+to a (dp, n) tile. No formulation avoids that copy as long as the solver
+wants pixels on lanes and features on sublanes of a flattened buffer.
+
+This module removes the copy by running Lloyd directly on the 4-D layout:
+
+  * Inputs are the kernel's own ``energies_cm (B, E, H, W)`` plus a tiny
+    ``color4 (B, 4, H, W)`` buffer (Lab rows + a ones-row whose update sums
+    double as member counts). Blocks are ``(1, C, HB, W)`` — whole image
+    rows, exactly the resident tiling, so every DMA is dense.
+  * In-kernel, ``(C, HB, W)`` reshapes to ``(C*HB, W)`` for free (merging
+    LEADING dims into the sublane dim never moves data — unlike merging
+    (H, W) into lanes). One MXU dot with a BLOCK-DIAGONAL expanded weight
+    matrix ``W[(kk, r), (d, r')] = wc[kk, d] * delta(r, r')`` computes the
+    per-row, per-center scores of all HB rows at once; the k-major row
+    order makes the argmin an unrolled leading-dim min. The extra MXU work
+    (HB x the useful FLOPs) stays far below the DMA floor.
+  * Per-image standardization is folded into the CENTER transform instead
+    of the pixel buffer: for x = a*r + b (per-row affine; a also carries
+    the sqrt(E/3) color balance), argmin_c ||x - c||^2 over raw rows r is
+    scored as offs_c - 2*(a*(c - b)) . r with offs_c = ||c - b||^2, and the
+    update maps raw member means back with the same affine. Real-arithmetic
+    identical to clustering the normalized features (affine commutes with
+    means); float rounding differs only at borderline pixels, covered by
+    the same label-agreement floors as the xt path.
+  * Maximin seeding uses the weighted form: d(x_i, p)^2 =
+    sum_d a_d^2 (r_id - p_d)^2, with the probe-independent weighted
+    ||x||^2 computed in-kernel from a block-diagonal a^2 matrix.
+  * Labels are written as (B, H, W) int32 directly — the (B, N) -> (B, H,
+    W) exit relayout of the xt path disappears too.
+
+Multigrid (ClusterConfig.coarse_iters): the pooled twin stays 4-D — MXU
+pooling matmuls (ops/features.py::_pool2x2_cm) produce (B, E, H/2, W/2) and
+the same kernels run on it. Semantics (seeds, tie-breaks, pass schedule,
+empty-cluster rule, fixed-point early exit) mirror
+models/kmeans.py::kmeans and golden/cluster.py, which remain the
+references; parity is pinned by tests/test_kmeans_chw.py.
+
+Measured (TPU v5 lite, config1 batch-16 bf16, 2026-08-17): end-to-end
+rgb->labels 74.6 -> ~51 ms/batch with identical PRI — the assemble stage
+(~25 ms of relayouts) is gone and the label exit is free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gabor_color_image_segmentation_tpu.ops.precision import precision_for
+
+_K_PAD = 8  # centers on one sublane tile; same ceiling as kmeans_pallas
+_HB = 16  # image rows per grid step = one bf16 sublane tile of (h, w)
+
+
+def _num_blocks(h: int) -> int:
+    return -(-h // _HB)
+
+
+def _expand_diag(m: jnp.ndarray, hb: int) -> jnp.ndarray:
+    """(B, R, D) -> (B, R*hb, D*hb) block-diagonal expansion:
+    out[b, kk*hb + r, d*hb + r'] = m[b, kk, d] * delta(r, r')."""
+    b, rr, d = m.shape
+    eye = jnp.eye(hb, dtype=m.dtype)
+    out = m[:, :, None, :, None] * eye[None, None, :, None, :]
+    return out.reshape(b, rr * hb, d * hb)
+
+
+# ---------------------------------------------------------------------------
+# Lloyd pass
+# ---------------------------------------------------------------------------
+
+
+def _mask_invalid_rows(xe, xc, hb: int, h: int, i):
+    """Zero the flattened (C*HB, W) rows whose image row lies past H.
+
+    The last grid step's block reads beyond the array; the values are
+    garbage (NaN in interpret mode). They would poison every dot through
+    0 * garbage even where the block-diagonal weight is zero, so the loads
+    are masked at the source. Row index of flat row (d, r) is r = idx % HB.
+    """
+    def mask(x):
+        r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % hb
+        return jnp.where((r + i * hb) < h, x, jnp.zeros_like(x))
+
+    return mask(xe), mask(xc)
+
+
+def _lloyd_chw_kernel(
+    xe_ref,  # (1, E, HB, W) mm dtype — raw channel-major energies
+    xc_ref,  # (1, 4, HB, W) mm dtype — [L, a, b, 1] color rows
+    wce_ref,  # (1, k*HB, E*HB) mm dtype — block-diag expanded energy weights
+    wcc_ref,  # (1, k*HB, 4*HB) mm dtype — expanded color weights (ones row 0)
+    offs_ref,  # (1, 8, 128) f32 — per-center score offsets in column 0
+    labels_ref,  # (1, HB, W) int32
+    pse_ref,  # (1, 1, k, E*HB) f32 per-block partial raw sums (energies)
+    psc_ref,  # (1, 1, k, 4*HB) f32 partial raw sums (color; row 3 = counts)
+    *,
+    k: int,
+    e: int,
+    hb: int,
+    h: int,
+    w: int,
+):
+    i = pl.program_id(1)
+    xe = xe_ref[0].reshape(e * hb, w)  # leading-dim merge: free
+    xc = xc_ref[0].reshape(4 * hb, w)
+    xe, xc = _mask_invalid_rows(xe, xc, hb, h, i)
+    prec = precision_for(xe.dtype)
+    # one dot scores all hb rows for all centers: rows ordered k-major so
+    # the argmin is an unrolled leading-dim min below. Only the k REAL
+    # center rows are expanded (M = k*hb, not _K_PAD*hb) — MXU cost scales
+    # with M and k=5 of 8 padded rows would be 37% pure waste.
+    s = jax.lax.dot_general(
+        wce_ref[0], xe, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + jax.lax.dot_general(
+        wcc_ref[0], xc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (k*HB, W)
+    s3 = s.reshape(k, hb, w)
+    offs = offs_ref[0][:, 0:1]  # (8, 1)
+    # scores = offs - 2*cross; unrolled first-min argmin over the k real rows
+    best = offs[0, 0] - 2.0 * s3[0]
+    lbl = jnp.zeros((hb, w), jnp.int32)
+    for kk in range(1, k):
+        sc = offs[kk, 0] - 2.0 * s3[kk]
+        m = sc < best
+        lbl = jnp.where(m, jnp.int32(kk), lbl)
+        best = jnp.where(m, sc, best)
+    labels_ref[0] = lbl
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hb, w), 1)
+    valid = (row + i * hb) < h  # rows past the image get no vote
+    sub = jax.lax.broadcasted_iota(jnp.int32, (k, hb, w), 0)
+    oh3 = ((sub == lbl[None]) & valid).astype(xe.dtype)
+    oh = oh3.reshape(k * hb, w)
+    # raw-sum update: contract lanes (the Q @ K^T MXU form), then collapse
+    # the block-diagonal: psums[kk, (d, r')] = sum_r P[(kk, r), (d, r')]
+    # masked to r == r'
+    pe = jax.lax.dot_general(
+        oh, xe, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).reshape(k, hb, e * hb)
+    pc = jax.lax.dot_general(
+        oh, xc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).reshape(k, hb, 4 * hb)
+
+    def collapse(p, d):
+        r = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 1)
+        rp = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 2) % hb
+        return jnp.sum(jnp.where(r == rp, p, 0.0), axis=1)
+
+    pse_ref[0, 0] = collapse(pe, e)
+    psc_ref[0, 0] = collapse(pc, 4)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _lloyd_chw_pass(xe, xc4, wce_x, wcc_x, offs, k: int, hb: int,
+                    interpret: bool):
+    """One fused assignment+accumulate pass over (B, E, H, W) raw features.
+
+    wce_x/wcc_x: block-diag expanded weights (see _expand_diag), offs:
+    (B, 8, 128) f32 score offsets in column 0. Returns (labels (B, H, W)
+    int32, sums_e (B, K8, E) f32, sums_c4 (B, K8, 4) f32) — raw-space sums;
+    sums_c4[..., 3] is the member count.
+    """
+    b, e, h, w = xe.shape
+    nb = _num_blocks(h)
+    kernel = functools.partial(
+        _lloyd_chw_kernel, k=k, e=e, hb=hb, h=h, w=w
+    )
+    labels, pse, psc = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, e, hb, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hb, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * hb, e * hb), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * hb, 4 * hb), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k, e * hb), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k, 4 * hb), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, nb, k, e * hb), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, k, 4 * hb), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * nb * k * hb * (e + 4) * hb * w),
+            bytes_accessed=int(xe.dtype.itemsize * b * (e + 4) * h * w),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xe, xc4, wce_x, wcc_x, offs)
+    sums_e = jnp.sum(pse, axis=1).reshape(b, k, e, hb).sum(axis=3)
+    sums_c = jnp.sum(psc, axis=1).reshape(b, k, 4, hb).sum(axis=3)
+    return labels, sums_e, sums_c
+
+
+# ---------------------------------------------------------------------------
+# maximin seeding
+# ---------------------------------------------------------------------------
+
+
+def _maximin_chw_kernel(
+    xe_ref,  # (1, E, HB, W)
+    xc_ref,  # (1, 4, HB, W)
+    wp_ref,  # (1, HB, E*HB) — expanded probe weights (a^2 * probe)
+    wpc_ref,  # (1, HB, 4*HB)
+    a2e_ref,  # (1, HB, E*HB) — expanded a^2 (weighted-||x||^2 matrix)
+    a2c_ref,  # (1, HB, 4*HB)
+    csq_ref,  # (1, 8, 128) f32 — probe self-term in [0, 0]
+    dmin_ref,  # (1, HB, W) f32 running min (ignored on reset)
+    dmin_out_ref,  # (1, HB, W) f32
+    beste_ref,  # (1, 1, 8, E*HB) f32 — block-argmax raw column, row 0
+    bestc_ref,  # (1, 1, 8, 4*HB) f32
+    bestv_ref,  # (1, 1, 8, 128) f32 — block max in [0, 0]
+    *,
+    reset: bool,
+    e: int,
+    hb: int,
+    h: int,
+    w: int,
+):
+    i = pl.program_id(1)
+    xe = xe_ref[0].reshape(e * hb, w)
+    xc = xc_ref[0].reshape(4 * hb, w)
+    xe, xc = _mask_invalid_rows(xe, xc, hb, h, i)
+    prec = precision_for(xe.dtype)
+    f32 = jnp.float32
+    # weighted ||x||^2: one block-diag dot over the elementwise squares
+    # (f32 squares of bf16 operands are exact)
+    xe2 = (xe.astype(f32) * xe.astype(f32)).astype(xe.dtype)
+    xc2 = (xc.astype(f32) * xc.astype(f32)).astype(xc.dtype)
+    xsqw = jax.lax.dot_general(
+        a2e_ref[0], xe2, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ) + jax.lax.dot_general(
+        a2c_ref[0], xc2, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )  # (HB, W)
+    cross = jax.lax.dot_general(
+        wp_ref[0], xe, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    ) + jax.lax.dot_general(
+        wpc_ref[0], xc, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=prec,
+    )
+    d2 = xsqw - 2.0 * cross + csq_ref[0][0, 0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0)
+    valid = (row + i * hb) < h
+    d2 = jnp.where(valid, d2, -jnp.inf)
+    dmin_new = d2 if reset else jnp.minimum(dmin_ref[0], d2)
+    # re-mask after the min: the dmin INPUT's out-of-range rows are garbage
+    # (NaN in interpret mode) and min(garbage, -inf) keeps the garbage
+    dmin_new = jnp.where(valid, dmin_new, -jnp.inf)
+    dmin_out_ref[0] = dmin_new
+
+    # block argmax with first-(row, col) tie-break, then one-hot contraction
+    # to extract the winning RAW column without any lane gather
+    m = jnp.max(dmin_new)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
+    idx = row * w + col
+    cand = jnp.where(dmin_new == m, idx, jnp.int32(2**30))
+    mi = jnp.min(cand)
+    oh = (cand == mi).astype(xe.dtype)  # single 1 at the block argmax
+
+    def pick(x, d):
+        p = jax.lax.dot_general(
+            oh, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )  # (HB, d*HB); keep the r == r' diagonal, collapse rows
+        r = jax.lax.broadcasted_iota(jnp.int32, (hb, d * hb), 0)
+        rp = jax.lax.broadcasted_iota(jnp.int32, (hb, d * hb), 1) % hb
+        return jnp.sum(jnp.where(r == rp, p, 0.0), axis=0, keepdims=True)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, e * hb), 0)
+    beste_ref[0, 0] = jnp.where(lane == 0, pick(xe, e), 0.0)
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (8, 4 * hb), 0)
+    bestc_ref[0, 0] = jnp.where(lane4 == 0, pick(xc, 4), 0.0)
+    bestv_ref[0, 0] = jnp.full((8, 128), m, f32)
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10))
+def _maximin_chw_pass(xe, xc4, wp_x, wpc_x, a2e_x, a2c_x, csq, dmin,
+                      reset: bool, hb: int, interpret: bool):
+    """One fused weighted-maximin step on the CHW layout.
+
+    Returns (dmin_out (B, H, W) f32, best_e (B, E) f32, best_c (B, 4) f32)
+    where best_* is the raw feature column at the global argmax of
+    dmin_out (first index on ties, matching models.kmeans.maximin_init).
+    """
+    b, e, h, w = xe.shape
+    nb = _num_blocks(h)
+    kernel = functools.partial(
+        _maximin_chw_kernel, reset=reset, e=e, hb=hb, h=h, w=w
+    )
+    dmin_out, beste, bestc, bestv = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, e, hb, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hb, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, e * hb), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, 4 * hb), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, e * hb), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, 4 * hb), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, e * hb), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 4 * hb), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 8, e * hb), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 8, 4 * hb), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 8, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * b * nb * hb * (e + 4) * hb * w),
+            bytes_accessed=int(xe.dtype.itemsize * b * (e + 4) * h * w),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xe, xc4, wp_x, wpc_x, a2e_x, a2c_x, csq, dmin)
+    bi = jnp.argmax(bestv[:, :, 0, 0], axis=1)  # (B,) first-max block
+    be = jnp.take_along_axis(beste[:, :, 0, :], bi[:, None, None], axis=1)[:, 0]
+    bc = jnp.take_along_axis(bestc[:, :, 0, :], bi[:, None, None], axis=1)[:, 0]
+    be = be.reshape(-1, e, hb).sum(axis=2)
+    bc = bc.reshape(-1, 4, hb).sum(axis=2)
+    return dmin_out, be, bc
+
+
+def _maximin_init_chw(xe, xc4, a, b_aff, k: int, hb: int, interpret: bool):
+    """Weighted maximin seeding on raw CHW buffers -> NORMALIZED centers.
+
+    a, b_aff: (B, D) per-row affine with D = E + 3 (x_norm = a*raw + b).
+    Same seed sequence as models.kmeans.maximin_init on the normalized
+    features: probe the mean, then farthest-point steps; distances are the
+    normalized-space ones via the a^2 weighting (the ones-row weight is 0,
+    so it never contributes).
+    """
+    b, e, h, w = xe.shape
+    d = e + 3
+    f32 = jnp.float32
+    n = h * w
+    mm = xe.dtype
+    a2 = jnp.concatenate(
+        [a * a, jnp.zeros((b, 1), f32)], axis=1
+    )  # (B, D+1); ones-row weight 0
+    # expanded a^2: rows r, cols (d, r') -> a2[d] * delta(r, r'); built once
+    # (_expand_diag on a (B, 1, E) input gives exactly (B, hb, e*hb))
+    a2e_x = _expand_diag(a2[:, None, :e], hb).astype(mm)
+    a2c_x = _expand_diag(a2[:, None, e:], hb).astype(mm)
+
+    # probe sequence state: raw-space probes (the mean, then data columns)
+    mean_e = jnp.mean(xe.astype(f32), axis=(2, 3))  # (B, E)
+    mean_c = jnp.mean(xc4.astype(f32), axis=(2, 3))  # (B, 4); row 3 == 1
+    centers_raw = jnp.zeros((b, k, d), f32)
+    dmin = jnp.zeros((b, h, w), f32)
+    pe, pc = mean_e, mean_c
+
+    for step in range(k):
+        wpe = a2[:, :e] * pe  # (B, E)
+        wpc = a2[:, e:] * pc  # (B, 4); row 3 weight 0
+        csq_v = jnp.sum(a2[:, :e] * pe * pe, axis=1) + jnp.sum(
+            a2[:, e:] * pc * pc, axis=1
+        )
+        csq = jnp.zeros((b, 8, 128), f32).at[:, 0, 0].set(csq_v)
+        wp_x = _expand_diag(wpe[:, None, :], hb).astype(mm)
+        wpc_x = _expand_diag(wpc[:, None, :], hb).astype(mm)
+        dmin, be, bc = _maximin_chw_pass(
+            xe, xc4, wp_x, wpc_x, a2e_x, a2c_x, csq, dmin, step < 2, hb,
+            interpret,
+        )
+        centers_raw = centers_raw.at[:, step].set(
+            jnp.concatenate([be, bc[:, :3]], axis=1)
+        )
+        pe, pc = be, jnp.concatenate(
+            [bc[:, :3], jnp.ones((b, 1), f32)], axis=1
+        )
+    # normalized-space centers for the Lloyd loop
+    return a[:, None, :] * centers_raw + b_aff[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def _affine_params(xe, xc4, cluster_cfg, eps: float):
+    """Per-row standardization affine over raw CHW buffers: x = a*r + b.
+
+    Returns (a (B, D), b (B, D)) f32, D = E + 3, with the sqrt(E/3) color
+    balance and ``color_weight`` folded into the color rows — the same
+    moments/affine as ops/features.py::_norm_affine, computed in the
+    (h, w)-tiled layout."""
+    b, e, _, _ = xe.shape
+    f32 = jnp.float32
+    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
+    if not cluster_cfg.normalize:
+        a = jnp.concatenate(
+            [jnp.ones((b, e), f32), jnp.full((b, 3), cw, f32)], axis=1
+        )
+        return a, jnp.zeros((b, e + 3), f32)
+
+    def moments(x):
+        mean = jnp.mean(x, axis=(2, 3), dtype=f32)
+        sq = jnp.mean(jnp.square(x.astype(f32)), axis=(2, 3))
+        return mean, jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
+
+    m_e, s_e = moments(xe)
+    m_c, s_c = moments(xc4[:, :3])
+    a_e = 1.0 / (s_e + eps)
+    a_c = cw / (s_c + eps)
+    a = jnp.concatenate([a_e, a_c], axis=1)
+    return a, jnp.concatenate([-m_e * a_e, -m_c * a_c], axis=1)
+
+
+def build_color4(color: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(B, H, W, 3) color -> (B, 4, H, W) channel-major rows [L, a, b, 1].
+    The ones-row's update sums double as member counts in the Lloyd pass."""
+    b, h, w, _ = color.shape
+    cm = jnp.transpose(color.astype(dtype), (0, 3, 1, 2))
+    return jnp.concatenate([cm, jnp.ones((b, 1, h, w), dtype)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def kmeans_fused_chw(
+    energies_cm: jnp.ndarray,
+    color4: jnp.ndarray,
+    affine: Tuple[jnp.ndarray, jnp.ndarray],
+    k: int,
+    n_iter: int = 25,
+    coarse_iters: int = 0,
+    refine_iters: int = 10,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused Lloyd directly on the feature kernel's CHW output.
+
+    energies_cm: (B, E, H, W) raw (unnormalized) energies; color4:
+    (B, 4, H, W) from build_color4; affine: (a, b) from _affine_params.
+    Returns (labels (B, H, W) int32, centers (B, k, E+3) f32 in NORMALIZED
+    feature space — directly comparable to the xt/golden solvers').
+
+    Multigrid (coarse_iters > 0): seed + coarse Lloyd on the 2x2 MXU-pooled
+    twin (1/4 HBM per pass), then refine_iters full-resolution passes with
+    the fixed-point early exit — the schedule of kmeans_fused_t_xt /
+    golden/cluster.py (pooling raw rows commutes with the affine, so this
+    equals pooling normalized features in real arithmetic).
+    """
+    if k > _K_PAD:
+        raise ValueError(f"fused chw Lloyd supports k <= {_K_PAD}, got {k}")
+    b, e, h, w = energies_cm.shape
+    d = e + 3
+    a, b_aff = affine
+    interpret = jax.default_backend() != "tpu"
+    hb = _HB
+    f32 = jnp.float32
+    mm = energies_cm.dtype
+
+    def solve(xe, xc4_, c0, max_iter):
+        """Lloyd to fixed point (<= max_iter) on one resolution level."""
+
+        def center_inputs(c):
+            u = c - b_aff[:, None, :]  # (B, k, D)
+            wc = a[:, None, :] * u
+            offs_v = jnp.sum(u * u, axis=2)  # (B, k)
+            # only the k real rows are expanded: MXU cost of both kernel
+            # dots scales with M = k*hb, so padding to _K_PAD would be waste
+            wck = jnp.zeros((b, k, d + 1), f32).at[:, :, :d].set(wc)
+            wce_x = _expand_diag(wck[:, :, :e], hb).astype(mm)
+            wcc_x = _expand_diag(wck[:, :, e:], hb).astype(mm)
+            offs = jnp.zeros((b, 8, 128), f32).at[:, :k, 0].set(offs_v)
+            return wce_x, wcc_x, offs
+
+        def update(c):
+            wce_x, wcc_x, offs = center_inputs(c)
+            labels, sums_e, sums_c = _lloyd_chw_pass(
+                xe, xc4_, wce_x, wcc_x, offs, k, hb, interpret
+            )
+            counts = sums_c[:, :, 3]  # ones-row sums
+            raw_mean = jnp.concatenate(
+                [sums_e, sums_c[:, :, :3]], axis=2
+            ) / jnp.maximum(counts, 1.0)[:, :, None]
+            new = a[:, None, :] * raw_mean + b_aff[:, None, :]
+            new = jnp.where(counts[:, :, None] > 0, new, c)
+            return labels, new
+
+        def cond(carry):
+            return carry[3]
+
+        def body(carry):
+            t, c, _, _ = carry
+            labels, upd = update(c)
+            new = jnp.where(t < max_iter, upd, c)
+            return t + 1, new, labels, jnp.any(new != c)
+
+        labels0 = jnp.zeros((b,) + xe.shape[2:], jnp.int32)
+        _, c_fin, labels, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), c0, labels0, True)
+        )
+        return labels, c_fin
+
+    if coarse_iters > 0 and h >= 2 and w >= 2:
+        from gabor_color_image_segmentation_tpu.ops.features import (
+            _pool2x2_cm,
+        )
+
+        pe = _pool2x2_cm(energies_cm)
+        pc = _pool2x2_cm(color4)
+        c0 = _maximin_init_chw(pe, pc, a, b_aff, k, hb, interpret)
+        _, c_w = solve(pe, pc, c0, coarse_iters)
+        labels, centers = solve(energies_cm, color4, c_w, refine_iters)
+    else:
+        c0 = _maximin_init_chw(energies_cm, color4, a, b_aff, k, hb, interpret)
+        labels, centers = solve(energies_cm, color4, c0, n_iter)
+    return labels, centers

@@ -122,6 +122,28 @@ def _segment_batch_transposed(
     with jax.named_scope("features"):
         color = _color_transform(rgb, cfg.color_space)
         energies_cm = gabor_energies_fused(color, bank, dtype, channel_major=True)
+    if cfg.cluster.method == "kmeans" and cfg.cluster.init_stride == 1:
+        # relayout-free path: the fused Lloyd consumes the kernel's CHW
+        # output directly (models/kmeans_chw.py) — no xt buffer, no
+        # (H, W) -> N relayout, labels written in 2-D layout. Measured
+        # ~25 ms/batch-16 faster than the xt assembly at config1 scale.
+        from gabor_color_image_segmentation_tpu.models.kmeans_chw import (
+            _affine_params,
+            build_color4,
+            kmeans_fused_chw,
+        )
+
+        with jax.named_scope("assemble"):
+            xc4 = build_color4(color, dtype)
+            affine = _affine_params(energies_cm, xc4, cfg.cluster, 1e-6)
+        multigrid = cfg.cluster.coarse_iters > 0 and h >= 2 and w >= 2
+        with jax.named_scope("cluster"):
+            labels, _ = kmeans_fused_chw(
+                energies_cm, xc4, affine, cfg.cluster.k, cfg.cluster.n_iter,
+                cfg.cluster.coarse_iters if multigrid else 0,
+                cfg.cluster.refine_iters,
+            )
+        return labels.astype(jnp.int32)
     e = energies_cm.shape[1]
     dp, n_pad, _ = xt_geometry(h * w, e + 3, dtype)
     multigrid = (
