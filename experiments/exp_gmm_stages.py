@@ -61,7 +61,7 @@ def main():
 
     timeit("kmeans init (10 iters, on xt)", loop(
         lambda i, xt_: jnp.sum(kmeans_fused_t_xt(
-            xt_ + i * jnp.float32(0), K, D, N, 10)[1])
+            xt_ + i * jnp.float32(1e-12), K, D, N, 10)[1])
     ), xt)
 
     timeit("params->kernel inputs (chol+inv)", loop(
@@ -88,7 +88,7 @@ def main():
 
     timeit("gmm_fused_t_xt full (30 it, tol=0)", loop(
         lambda i, xt_: jnp.sum(gp.gmm_fused_t_xt(
-            xt_ + i * jnp.float32(0), K, D, N, 30, 1e-4, 10, 0.0))
+            xt_ + i * jnp.float32(1e-12), K, D, N, 30, 1e-4, 10, 0.0))
     ), xt)
 
 

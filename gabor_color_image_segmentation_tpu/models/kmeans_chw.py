@@ -483,6 +483,8 @@ def kmeans_fused_chw(
     coarse_iters: int = 0,
     refine_iters: int = 10,
     eps: float = 1e-6,
+    pooled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    init_centers: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Lloyd directly on the feature kernel's CHW output.
 
@@ -550,13 +552,24 @@ def kmeans_fused_chw(
         )
         return labels, c_fin
 
-    if coarse_iters > 0 and h >= 2 and w >= 2:
-        from gabor_color_image_segmentation_tpu.ops.features import (
-            _pool2x2_cm,
-        )
+    if init_centers is not None:
+        # externally-produced multigrid warm start (normalized feature
+        # space, e.g. kmeans_pallas.kmeans_coarse_centers_xp on a pooled
+        # xt buffer) — run only the full-resolution refinement here
+        labels, centers = solve(energies_cm, color4, init_centers,
+                                refine_iters)
+    elif coarse_iters > 0 and h >= 2 and w >= 2:
+        if pooled is not None:
+            # the feature kernel produced the pooled twin in-VMEM
+            # (fused_pallas pooled=True) — no standalone pooling pass
+            pe, pc = pooled
+        else:
+            from gabor_color_image_segmentation_tpu.ops.features import (
+                _pool2x2_cm,
+            )
 
-        pe = _pool2x2_cm(energies_cm)
-        pc = _pool2x2_cm(color4)
+            pe = _pool2x2_cm(energies_cm)
+            pc = _pool2x2_cm(color4)
         c0 = _maximin_init_chw(pe, pc, a, b_aff, k, hb, interpret)
         _, c_w = solve(pe, pc, c0, coarse_iters)
         labels, centers = solve(energies_cm, color4, c_w, refine_iters)

@@ -533,6 +533,68 @@ def _pool_xt(xt: jnp.ndarray, d: int, h: int, w: int):
     return xp, m, block
 
 
+def _solve_t(buf, blk, n_valid, c0, max_iter, k, d, interpret):
+    """Lloyd passes over one xt-layout buffer until fixed point or max_iter.
+
+    c0: (B, k, dp) f32 initial centers. Returns (labels (B, n_pad) int32,
+    centers_pad (B, _K_PAD, dp) f32) — the shared loop of kmeans_fused_t_xt
+    and kmeans_coarse_centers_xp."""
+    b, dp, _ = buf.shape
+    cpad = jnp.zeros((b, _K_PAD, dp), jnp.float32).at[:, :k].set(c0)
+    cpad = cpad.at[:, :, d].set(0.0)  # ones-row entry never enters scores
+
+    def update(centers_pad):
+        labels, sums = _lloyd_t_pass(buf, centers_pad, k, blk, n_valid,
+                                     interpret)
+        counts = sums[:, :, d]
+        new = sums / jnp.maximum(counts, 1.0)[:, :, None]
+        new = new.at[:, :, d].set(0.0)
+        new = jnp.where(counts[:, :, None] > 0, new, centers_pad)
+        return labels, new
+
+    def cond(carry):
+        _, _, _, go = carry
+        return go
+
+    def body(carry):
+        t, centers_pad, _, _ = carry
+        labels, upd = update(centers_pad)
+        new = jnp.where(t < max_iter, upd, centers_pad)
+        return t + 1, new, labels, jnp.any(new != centers_pad)
+
+    labels0 = jnp.zeros((b, buf.shape[2]), jnp.int32)
+    _, centers_pad, labels, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), cpad, labels0, True)
+    )
+    return labels, centers_pad
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def kmeans_coarse_centers_xp(
+    xp: jnp.ndarray, k: int, d: int, m: int, coarse_iters: int
+) -> jnp.ndarray:
+    """Maximin seeding + coarse Lloyd on a pooled xt-layout buffer.
+
+    xp: (B, dp, m_pad) normalized pooled features (xt_geometry(m, d)
+    layout). Returns (B, k, d) f32 centers in normalized feature space —
+    the multigrid warm start consumed by the CHW refine
+    (models/kmeans_chw.py::kmeans_fused_chw(init_centers=...)). Identical
+    seeding/tie-break/empty-cluster semantics to kmeans_fused_t_xt's
+    multigrid warmup; at config1 scale a pooled xt pass costs ~0.36 ms vs
+    ~1.7 ms for the block-diagonal CHW pooled pass, which is why the warmup
+    runs here even when refinement stays in the CHW layout."""
+    if k > _K_PAD:
+        raise ValueError(f"fused Lloyd supports k <= {_K_PAD}, got {k}")
+    b, dp, m_pad = xp.shape
+    block = _block_for_t(m, dp, jnp.dtype(xp.dtype).itemsize)
+    if m_pad % block:
+        raise ValueError(f"xp lane dim {m_pad} not a multiple of block {block}")
+    interpret = jax.default_backend() != "tpu"
+    c0 = _maximin_init_t_fused(xp, k, m, block, interpret)
+    _, cpad = _solve_t(xp, block, m, c0, coarse_iters, k, d, interpret)
+    return cpad[:, :k, :d]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def kmeans_fused_t_xt(
     xt: jnp.ndarray, k: int, d: int, n: int, n_iter: int = 25,
@@ -571,34 +633,7 @@ def kmeans_fused_t_xt(
         raise ValueError("multigrid schedule requires init_stride == 1")
 
     def solve(buf, blk, n_valid, c0, max_iter):
-        """Lloyd passes over one buffer until fixed point or max_iter."""
-        cpad = jnp.zeros((b, _K_PAD, dp), jnp.float32).at[:, :k].set(c0)
-        cpad = cpad.at[:, :, d].set(0.0)  # ones-row entry never enters scores
-
-        def update(centers_pad):
-            labels, sums = _lloyd_t_pass(buf, centers_pad, k, blk, n_valid,
-                                         interpret)
-            counts = sums[:, :, d]
-            new = sums / jnp.maximum(counts, 1.0)[:, :, None]
-            new = new.at[:, :, d].set(0.0)
-            new = jnp.where(counts[:, :, None] > 0, new, centers_pad)
-            return labels, new
-
-        def cond(carry):
-            _, _, _, go = carry
-            return go
-
-        def body(carry):
-            t, centers_pad, _, _ = carry
-            labels, upd = update(centers_pad)
-            new = jnp.where(t < max_iter, upd, centers_pad)
-            return t + 1, new, labels, jnp.any(new != centers_pad)
-
-        labels0 = jnp.zeros((b, buf.shape[2]), jnp.int32)
-        _, centers_pad, labels, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), cpad, labels0, True)
-        )
-        return labels, centers_pad
+        return _solve_t(buf, blk, n_valid, c0, max_iter, k, d, interpret)
 
     if multigrid:
         h, w = hw

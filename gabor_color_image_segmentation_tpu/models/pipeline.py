@@ -119,10 +119,24 @@ def _segment_batch_transposed(
 
     b, h, w, _ = rgb.shape
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    chw = cfg.cluster.method == "kmeans" and cfg.cluster.init_stride == 1
+    multigrid = (
+        chw and cfg.cluster.coarse_iters > 0 and h >= 4 and w >= 4
+    )
     with jax.named_scope("features"):
         color = _color_transform(rgb, cfg.color_space)
-        energies_cm = gabor_energies_fused(color, bank, dtype, channel_major=True)
-    if cfg.cluster.method == "kmeans" and cfg.cluster.init_stride == 1:
+        if multigrid:
+            # the kernel emits the 2x2-pooled multigrid twin in the same
+            # VMEM pass (pre-pooled smoothing Toeplitz) — a standalone
+            # pooling pass measured ~8 ms/batch-16 at config1 scale
+            energies_cm, pooled_e = gabor_energies_fused(
+                color, bank, dtype, channel_major=True, pooled=True
+            )
+        else:
+            energies_cm = gabor_energies_fused(
+                color, bank, dtype, channel_major=True
+            )
+    if chw:
         # relayout-free path: the fused Lloyd consumes the kernel's CHW
         # output directly (models/kmeans_chw.py) — no xt buffer, no
         # (H, W) -> N relayout, labels written in 2-D layout. Measured
@@ -132,16 +146,41 @@ def _segment_batch_transposed(
             build_color4,
             kmeans_fused_chw,
         )
+        from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+            kmeans_coarse_centers_xp,
+            xt_geometry,
+        )
+        from gabor_color_image_segmentation_tpu.ops.features import (
+            _pool2x2_cm,
+            assemble_xp_from_affine,
+        )
 
         with jax.named_scope("assemble"):
             xc4 = build_color4(color, dtype)
             affine = _affine_params(energies_cm, xc4, cfg.cluster, 1e-6)
-        multigrid = cfg.cluster.coarse_iters > 0 and h >= 2 and w >= 2
+        c0 = None
+        if multigrid:
+            # multigrid warmup in the xt layout: the pooled buffer is 1/4
+            # the data, so its one-time lane relayout is cheap, and an xt
+            # Lloyd pass runs at the HBM floor (~0.36 ms at config1 scale)
+            # vs ~1.7 ms for the block-diagonal CHW pooled pass. Refinement
+            # stays relayout-free in the CHW layout below.
+            e = energies_cm.shape[1]
+            m = (h // 2) * (w // 2)
+            dp, m_pad, _ = xt_geometry(m, e + 3, dtype)
+            with jax.named_scope("assemble_xp"):
+                xp = assemble_xp_from_affine(
+                    pooled_e, _pool2x2_cm(xc4), affine[0], affine[1],
+                    dp, m_pad, dtype,
+                )
+            with jax.named_scope("coarse"):
+                c0 = kmeans_coarse_centers_xp(
+                    xp, cfg.cluster.k, e + 3, m, cfg.cluster.coarse_iters
+                )
         with jax.named_scope("cluster"):
             labels, _ = kmeans_fused_chw(
                 energies_cm, xc4, affine, cfg.cluster.k, cfg.cluster.n_iter,
-                cfg.cluster.coarse_iters if multigrid else 0,
-                cfg.cluster.refine_iters,
+                0, cfg.cluster.refine_iters, init_centers=c0,
             )
         return labels.astype(jnp.int32)
     e = energies_cm.shape[1]

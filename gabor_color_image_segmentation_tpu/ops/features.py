@@ -247,6 +247,41 @@ def _norm_affine(e_t: jnp.ndarray, c_t: jnp.ndarray, cluster_cfg, eps):
     return ones, zeros, jnp.full((1, 3, 1), cw, jnp.float32), zeros[:, :3]
 
 
+def assemble_xp_from_affine(
+    pe_cm: jnp.ndarray,
+    pc4: jnp.ndarray,
+    a: jnp.ndarray,
+    b_aff: jnp.ndarray,
+    dp: int,
+    m_pad: int,
+    out_dtype,
+) -> jnp.ndarray:
+    """Pooled channel-major buffers + precomputed affine -> normalized xp.
+
+    pe_cm: (B, E, H2, W2) raw pooled energies (the feature kernel's in-VMEM
+    2x2 twin, fused_pallas pooled=True); pc4: (B, 4, H2, W2) pooled color4;
+    a, b_aff: (B, E+3) per-row standardization affine computed from the
+    FULL-resolution moments (kmeans_chw._affine_params) — pooling commutes
+    with the affine, so normalizing pooled raw rows equals pooling
+    normalized features in real arithmetic. Returns (B, dp, m_pad) in the
+    xt_geometry layout (ones-row at E+3, zero padding)."""
+    b, e, h2, w2 = pe_cm.shape
+    m = h2 * w2
+    d = e + 3
+    f32 = jnp.float32
+    e_t = pe_cm.reshape(b, e, m)
+    c_t = pc4[:, :3].reshape(b, 3, m)
+    xp = jnp.zeros((b, dp, m_pad), out_dtype)
+    xp = xp.at[:, :e, :m].set(
+        (e_t.astype(f32) * a[:, :e, None] + b_aff[:, :e, None]).astype(out_dtype)
+    )
+    xp = xp.at[:, e:d, :m].set(
+        (c_t.astype(f32) * a[:, e:, None] + b_aff[:, e:, None]).astype(out_dtype)
+    )
+    xp = xp.at[:, d, :m].set(1.0)
+    return xp
+
+
 def _pool2x2_cm(x_cm: jnp.ndarray) -> jnp.ndarray:
     """(B, C, H, W) channel-major -> (B, C, H//2, W//2) exact 2x2 means.
 

@@ -88,15 +88,20 @@ def _group_kernel(
     eh_ref,  # (Wp, W) envelope Toeplitz (horizontal, transposed)
     sv_ref,  # (H, H) smoothing Toeplitz, REFLECT_101 folded (vertical)
     sh_ref,  # (W, W) smoothing Toeplitz, REFLECT_101 folded (horiz, transposed)
-    out_ref,  # (1, 1, n_c*C, H, W) f32 energies
-    *,
+    *refs,  # [svp_ref (H2, H), shp_ref (W, W2)] if pooled, then out_ref(s)
     c: int,
     n_c: int,
     p: int,
     sradius: int,
     mm_dtype,
     precision,
+    pooled: bool,
 ):
+    if pooled:
+        svp_ref, shp_ref, out_ref, outp_ref = refs
+    else:
+        (out_ref,) = refs
+        svp_ref = shp_ref = outp_ref = None
     hp, wp = x_ref.shape[2], x_ref.shape[3]
     hmid, wmid = ev_ref.shape[0], eh_ref.shape[1]
     chunk = pl.program_id(1)
@@ -109,38 +114,40 @@ def _group_kernel(
     # results are bitwise-identical per element. Reflections folded into the
     # smoothing Toeplitz stay inside [max(0, r0-r), min(n, r1+r)) for every
     # chunk (border chunks clamp to the matrix edge), so the windows cover
-    # them exactly.
-    def dot_banded_left(t_ref, m, off_lo, off_hi):
+    # them exactly. ``scale`` maps output rows to input coordinates (2 for
+    # the stride-2 pooled-smoothing matrices, whose row i covers input
+    # [2i + off_lo, 2i + 1 + off_hi]).
+    def dot_banded_left(t_ref, m, off_lo, off_hi, scale=1):
         rows, cols = t_ref.shape
-        if rows <= 128:
+        if rows <= 128 and scale == 1:
             return jnp.dot(t_ref[...], m,
                            preferred_element_type=jnp.float32,
                            precision=precision)
         parts = []
         for r0 in range(0, rows, 128):
             r1 = min(rows, r0 + 128)
-            a = max(0, r0 + off_lo)
-            b = min(cols, r1 + off_hi)
+            a = max(0, scale * r0 + off_lo)
+            b = min(cols, scale * r1 + off_hi)
             parts.append(jnp.dot(t_ref[r0:r1, a:b], m[a:b],
                                  preferred_element_type=jnp.float32,
                                  precision=precision))
-        return jnp.concatenate(parts, axis=0)
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    def dot_banded_right(m, t_ref, off_lo, off_hi):
+    def dot_banded_right(m, t_ref, off_lo, off_hi, scale=1):
         rows, cols = t_ref.shape
-        if cols <= 128:
+        if cols <= 128 and scale == 1:
             return jnp.dot(m, t_ref[...],
                            preferred_element_type=jnp.float32,
                            precision=precision)
         parts = []
         for c0 in range(0, cols, 128):
             c1 = min(cols, c0 + 128)
-            a = max(0, c0 + off_lo)
-            b = min(rows, c1 + off_hi)
+            a = max(0, scale * c0 + off_lo)
+            b = min(rows, scale * c1 + off_hi)
             parts.append(jnp.dot(m[:, a:b], t_ref[a:b, c0:c1],
                                  preferred_element_type=jnp.float32,
                                  precision=precision))
-        return jnp.concatenate(parts, axis=1)
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     # 1-D coordinate vectors; the plane wave cos(wy y + wx x) is rank-2 in
     # outer products of these, so the (Hp, Wp) phase planes never materialize
@@ -177,6 +184,20 @@ def _group_kernel(
             sm = dot_banded_left(sv_ref, mag, -sradius, sradius)
             sm = dot_banded_right(sm.astype(mm_dtype), sh_ref, -sradius, sradius)
             out_ref[0, 0, jj * c + cc] = sm.astype(out_ref.dtype)
+            if pooled:
+                # 2x2-pooled twin for the multigrid warmup, while mag is
+                # still in VMEM: pooled = (P_v @ S_v) @ mag @ (S_h @ P_h)
+                # with the stride-2 matrices precomputed on the host —
+                # real-arithmetic equal to pooling the smoothed energies
+                # (pooling and smoothing are both linear)
+                pm = dot_banded_left(
+                    svp_ref, mag, -sradius, 2 + sradius, scale=2
+                )
+                pm = dot_banded_right(
+                    pm.astype(mm_dtype), shp_ref, -sradius, 2 + sradius,
+                    scale=2,
+                )
+                outp_ref[0, 0, jj * c + cc] = pm.astype(outp_ref.dtype)
 
 
 def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
@@ -194,16 +215,19 @@ def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
     return cs[:, :, :, ksize:] - cs[:, :, :, :-ksize]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def _fused_group(
     img: jnp.ndarray, group: ScaleGroup, bank: GaborBank, dtype,
-    channel_major: bool = False,
-) -> jnp.ndarray:
+    channel_major: bool = False, pooled: bool = False,
+):
     """(B, H, W, C) -> (B, H, W, n_g*C) energies for one scale group in
     contract order (kernel-major, channel-minor — features.py docstring).
     channel_major=True returns (B, n_g*C, H, W) instead — the kernel's
     native layout — skipping the NHWC transpose (the transposed clustering
-    path consumes this directly)."""
+    path consumes this directly). pooled=True (channel_major only) returns
+    (energies, pooled2x2) where the 2x2-mean twin is produced inside the
+    kernel via pre-pooled smoothing Toeplitz matrices — the multigrid
+    warmup's input without a separate full-tensor pooling pass."""
     b, h, w, c = img.shape
     n = len(group.kernel_indices)
     p = group.ksize // 2
@@ -230,8 +254,23 @@ def _fused_group(
     ev = _mat(_toeplitz(env, hmid, np.float32))
     eh = _mat(_toeplitz(env, wmid, np.float32).T)
     sm = np.asarray(group.smooth_taps)
-    sv = _mat(_toeplitz_reflect(sm, h, np.float32))
-    sh = _mat(_toeplitz_reflect(sm, w, np.float32).T)
+    sv_np = _toeplitz_reflect(sm, h, np.float32)
+    sh_np = _toeplitz_reflect(sm, w, np.float32).T
+    sv = _mat(sv_np)
+    sh = _mat(sh_np)
+    h2, w2 = h // 2, w // 2
+    if pooled:
+        # stride-2 pooled smoothing: row i = 0.5*(S_v[2i] + S_v[2i+1]);
+        # col j = 0.5*(S_h[:, 2j] + S_h[:, 2j+1]) — (P @ S) precomputed in
+        # f64 so bf16 mode rounds the COMBINED taps once
+        svp = _mat(
+            0.5 * (sv_np[0 : 2 * h2 : 2].astype(np.float64)
+                   + sv_np[1 : 2 * h2 : 2]).astype(np.float32)
+        )
+        shp = _mat(
+            0.5 * (sh_np[:, 0 : 2 * w2 : 2].astype(np.float64)
+                   + sh_np[:, 1 : 2 * w2 : 2]).astype(np.float32)
+        )
 
     freqs = group_frequencies(group, bank).astype(np.float32)  # (n, 2) [wx, wy]
     mus = _dc_mu(group, bank)  # (n,)
@@ -265,36 +304,56 @@ def _fused_group(
     )
     kernel = functools.partial(
         _group_kernel, c=c, n_c=n_c, p=p, sradius=len(sm) // 2,
-        mm_dtype=mm_dtype, precision=precision,
+        mm_dtype=mm_dtype, precision=precision, pooled=pooled,
     )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, c, hp, wp), lambda i, j: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, c, hmid, wmid), lambda i, j: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (n_chunks, 3 * n_c), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec((hmid, hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wp, wmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, hmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wmid, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xpad, box, par_in, ev, eh, sv, sh]
+    out_specs = pl.BlockSpec(
+        (1, 1, n_c * c, h, w), lambda i, j: (i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # bf16 mode also stores bf16 energies: halves the kernel's write
+    # traffic and keeps the whole feature tensor bf16 through clustering
+    out_shape = jax.ShapeDtypeStruct((b, n_chunks, n_c * c, h, w), mm_dtype)
+    if pooled:
+        in_specs += [
+            pl.BlockSpec((h2, h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w2), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [svp, shp]
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, 1, n_c * c, h2, w2), lambda i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (b, n_chunks, n_c * c, h2, w2), mm_dtype
+        ))
 
     out = pl.pallas_call(
         kernel,
         grid=(b, n_chunks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, c, hp, wp), lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, c, hmid, wmid), lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (n_chunks, 3 * n_c), lambda i, j: (0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec((hmid, hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, wmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, hmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wmid, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, n_c * c, h, w), lambda i, j: (i, j, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        # bf16 mode also stores bf16 energies: halves the kernel's write
-        # traffic and keeps the whole feature tensor bf16 through clustering
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks, n_c * c, h, w), mm_dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=int(
                 2 * b * n * c
@@ -309,11 +368,14 @@ def _fused_group(
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(xpad, box, par_in, ev, eh, sv, sh)
+    )(*operands)
 
     # (B, n_chunks, n_c*C, H, W) is already the contract order (kernel-major,
     # channel-minor) along a flattened channel axis — only the channel-first
     # -> channel-last layout change remains
+    if pooled:
+        out, outp = out
+        return out.reshape(b, n * c, h, w), outp.reshape(b, n * c, h2, w2)
     out = out.reshape(b, n * c, h, w)
     if channel_major:
         return out
@@ -322,16 +384,27 @@ def _fused_group(
 
 def gabor_energies_fused(
     img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32,
-    channel_major: bool = False,
-) -> jnp.ndarray:
+    channel_major: bool = False, pooled: bool = False,
+):
     """(B,H,W,C) -> (B,H,W,C*N) smoothed energies, contract order.
 
     Drop-in replacement for features.gabor_energies / modulated path.
     channel_major=True returns (B, C*N, H, W) — same feature order along
-    axis 1, no NHWC transpose.
+    axis 1, no NHWC transpose. pooled=True (requires channel_major)
+    additionally returns the in-kernel 2x2-mean twin (B, C*N, H//2, W//2):
+    ``(energies, pooled2x2)``.
     """
     if bank.config.gamma != 1.0:
         raise ValueError("fused pallas path requires isotropic envelope gamma=1")
+    if pooled and not channel_major:
+        raise ValueError("pooled energies require channel_major=True")
+    if pooled:
+        parts = [_fused_group(img, g, bank, dtype, True, True)
+                 for g in bank.groups]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=1),
+            jnp.concatenate([p[1] for p in parts], axis=1),
+        )
     parts = [_fused_group(img, g, bank, dtype, channel_major)
              for g in bank.groups]
     return jnp.concatenate(parts, axis=1 if channel_major else -1)

@@ -44,3 +44,23 @@ def test_rejects_anisotropic(lab):
     bank = make_bank(BankConfig(scales=(2.0,), orientations=2, gamma=0.7))
     with pytest.raises(ValueError, match="gamma"):
         gabor_energies_fused(lab[None], bank)
+
+
+def test_pooled_twin_matches_pool2x2(lab):
+    """pooled=True emits (P@S) @ mag @ (S@P) — real-arithmetic equal to
+    2x2-pooling the full-res energies; float drift is reduction-order only."""
+    from gabor_color_image_segmentation_tpu.ops.features import _pool2x2_cm
+
+    bank = make_bank(BankConfig(scales=(2.0, 3.0), orientations=3))
+    full, pooled = gabor_energies_fused(
+        lab[None], bank, channel_major=True, pooled=True
+    )
+    ref = _pool2x2_cm(full)
+    assert pooled.shape == ref.shape
+    peak = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(pooled), np.asarray(ref), atol=2e-3 * peak, rtol=1e-3
+    )
+    # and the full-res output is unchanged by requesting the twin
+    alone = gabor_energies_fused(lab[None], bank, channel_major=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(alone))
