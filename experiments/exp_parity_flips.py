@@ -75,7 +75,8 @@ def run_config(name: str, seeds=(11, 12, 13)):
         def solve(x):
             if multigrid:
                 return kmeans_golden_multigrid(
-                    x, cc.k, (h, w), cc.coarse_iters, cc.refine_iters
+                    x, cc.k, (h, w), cc.coarse_iters, cc.refine_iters,
+                    cc.coarse_levels,
                 )
             return kmeans_golden(x, cc.k, cc.n_iter)
 

@@ -142,6 +142,14 @@ class ClusterConfig:
     # warmup useless — tests/test_kmeans.py documents the failure mode).
     coarse_iters: int = 0
     refine_iters: int = 10
+    # Coarse-grid depth of the multigrid schedule: the warmup grid is the
+    # full grid 2x2-mean-pooled ``coarse_levels`` times (1 = 2x2 blocks,
+    # 2 = 4x4 blocks = 1/16 the pixels). Deeper grids make the warmup
+    # (seeding + coarse Lloyd + its layout glue) nearly free while the
+    # final labels still come from the unchanged full-resolution
+    # refinement; golden mirrors the identical pooling (pool2x2 applied
+    # ``coarse_levels`` times, f32 sums, cast between levels).
+    coarse_levels: int = 1
     subsample: int = 1  # fit Lloyd on every n-th pixel (1 = exact; speed knob)
     # maximin init seeds from every n-th pixel; the golden path mirrors the
     # identical subset, so parity is exact at any value. The farthest-point
@@ -253,9 +261,13 @@ PRESETS: dict[str, PipelineConfig] = {
         # multigrid Lloyd (see ClusterConfig): 15 pooled + <=5 full-res
         # iterations — measured PRI equal-or-better than 25 full iterations
         # on the synthetic eval at ~1/3 the solver cost; golden mirrors the
-        # identical schedule (experiments/exp_multigrid.py)
+        # identical schedule (experiments/exp_multigrid.py). coarse_levels=2
+        # runs the warmup on the 4x4 grid: warmup cost becomes ~1/16-scale
+        # while the full-res refinement (which produces the labels) is
+        # unchanged — synthetic-eval PRI revalidated at the switch.
         cluster=ClusterConfig(
-            method="kmeans", k=5, coarse_iters=15, refine_iters=5
+            method="kmeans", k=5, coarse_iters=15, refine_iters=5,
+            coarse_levels=2,
         ),
         graph=GraphConfig(enabled=False),
         batch_size=16,

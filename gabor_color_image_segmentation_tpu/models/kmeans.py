@@ -226,7 +226,7 @@ def fused_solver_ready(k: int, n: int, n_max: int = SOLVER_N_MAX) -> bool:
     return fused_solver_eligible(k, n, n_max)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def kmeans_multigrid(
     x: jnp.ndarray,
     k: int,
@@ -234,14 +234,19 @@ def kmeans_multigrid(
     coarse_iters: int,
     refine_iters: int,
     dtype=jnp.float32,
+    coarse_levels: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multigrid Lloyd (XLA path): maximin seed + ``coarse_iters`` Lloyd
-    iterations on the 2x2-pooled grid, then up to ``refine_iters``
+    iterations on the pooled grid (pool2x2 applied ``coarse_levels`` times;
+    level 2 = exact 4x4 block means), then up to ``refine_iters``
     full-resolution iterations (fixed-point early exit) and a full-res
     assignment. x: (N, D) with N = h*w. Deterministic schedule, mirrored by
     golden/cluster.py::kmeans_golden_multigrid; measured PRI equal-or-better
     vs 25 full iterations at ~1/3 the cost (experiments/exp_multigrid.py)."""
-    xp = pool2x2(x, *hw)
+    xp, (h, w) = x, hw
+    for _ in range(coarse_levels):
+        xp = pool2x2(xp, h, w)
+        h, w = h // 2, w // 2
     _, centers = kmeans(xp, k, coarse_iters, dtype)
     return kmeans(x, k, refine_iters, dtype, centers0=centers)
 
@@ -256,6 +261,7 @@ def kmeans_batch(
     hw: Tuple[int, int] = None,
     coarse_iters: int = 0,
     refine_iters: int = 10,
+    coarse_levels: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched per-image k-means: (B, N, D) -> ((B, N) labels, (B, k, D)).
 
@@ -275,7 +281,7 @@ def kmeans_batch(
     multigrid = (
         coarse_iters > 0 and hw is not None
         and subsample == 1 and init_stride == 1
-        and hw[0] >= 2 and hw[1] >= 2
+        and hw[0] >= (1 << coarse_levels) and hw[1] >= (1 << coarse_levels)
     )
     fit_view = x if subsample == 1 else x[:, ::subsample]
     if fused_solver_ready(k, fit_view.shape[1]):
@@ -288,7 +294,7 @@ def kmeans_batch(
                 return kmeans_fused_t(
                     x, k, n_iter, dtype, init_stride,
                     hw=hw, coarse_iters=coarse_iters,
-                    refine_iters=refine_iters,
+                    refine_iters=refine_iters, coarse_levels=coarse_levels,
                 )
             return kmeans_fused_t(x, k, n_iter, dtype, init_stride)
         _, centers = kmeans_fused_t(fit_view, k, n_iter, dtype, init_stride)
@@ -299,7 +305,7 @@ def kmeans_batch(
     if multigrid:
         return jax.vmap(
             lambda f: kmeans_multigrid(
-                f, k, hw, coarse_iters, refine_iters, dtype
+                f, k, hw, coarse_iters, refine_iters, dtype, coarse_levels
             )
         )(x)
     centers0 = None

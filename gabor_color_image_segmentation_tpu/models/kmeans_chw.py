@@ -83,7 +83,7 @@ def _expand_diag(m: jnp.ndarray, hb: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _mask_invalid_rows(xe, xc, hb: int, h: int, i):
+def _mask_invalid_rows_one(x, hb: int, h: int, i):
     """Zero the flattened (C*HB, W) rows whose image row lies past H.
 
     The last grid step's block reads beyond the array; the values are
@@ -91,45 +91,66 @@ def _mask_invalid_rows(xe, xc, hb: int, h: int, i):
     0 * garbage even where the block-diagonal weight is zero, so the loads
     are masked at the source. Row index of flat row (d, r) is r = idx % HB.
     """
-    def mask(x):
-        r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % hb
-        return jnp.where((r + i * hb) < h, x, jnp.zeros_like(x))
+    r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % hb
+    return jnp.where((r + i * hb) < h, x, jnp.zeros_like(x))
 
-    return mask(xe), mask(xc)
+
+def _mask_invalid_rows(xe, xc, hb: int, h: int, i):
+    return (
+        _mask_invalid_rows_one(xe, hb, h, i),
+        _mask_invalid_rows_one(xc, hb, h, i),
+    )
 
 
 def _lloyd_chw_kernel(
-    xe_ref,  # (1, E, HB, W) mm dtype — raw channel-major energies
-    xc_ref,  # (1, 4, HB, W) mm dtype — [L, a, b, 1] color rows
-    wce_ref,  # (1, k*HB, E*HB) mm dtype — block-diag expanded energy weights
-    wcc_ref,  # (1, k*HB, 4*HB) mm dtype — expanded color weights (ones row 0)
-    offs_ref,  # (1, 8, 128) f32 — per-center score offsets in column 0
-    labels_ref,  # (1, HB, W) int32
-    pse_ref,  # (1, 1, k, E*HB) f32 per-block partial raw sums (energies)
-    psc_ref,  # (1, 1, k, 4*HB) f32 partial raw sums (color; row 3 = counts)
-    *,
+    *refs,
+    # inputs: G xe_refs (1, E_g, HB, W), xc_ref (1, 4, HB, W),
+    #         G wce_refs (1, k*HB, E_g*HB) block-diag expanded energy
+    #         weights, wcc_ref (1, k*HB, 4*HB) expanded color weights,
+    #         offs_ref (1, 8, 128) f32 per-center score offsets in col 0
+    # outputs: labels_ref (1, HB, W) int32,
+    #          G pse_refs (1, 1, k, E_g*HB) f32 per-block partial raw sums,
+    #          psc_ref (1, 1, k, 4*HB) f32 (color; row 3 = counts)
+    # The per-group operands let the feature kernel's scale-group outputs
+    # feed the solver DIRECTLY — no (B, E, H, W) concatenation pass over
+    # the full feature tensor (a pure-HBM copy, ~6 ms/batch-16 at config1
+    # scale). Scores/sums are identical: the concat dot is the sum of the
+    # per-group dots over the same f32 accumulator structure.
     k: int,
-    e: int,
+    es: tuple,
     hb: int,
     h: int,
     w: int,
 ):
+    g = len(es)
+    xe_refs = refs[:g]
+    xc_ref = refs[g]
+    wce_refs = refs[g + 1 : 2 * g + 1]
+    wcc_ref = refs[2 * g + 1]
+    offs_ref = refs[2 * g + 2]
+    labels_ref = refs[2 * g + 3]
+    pse_refs = refs[2 * g + 4 : 3 * g + 4]
+    psc_ref = refs[3 * g + 4]
+
     i = pl.program_id(1)
-    xe = xe_ref[0].reshape(e * hb, w)  # leading-dim merge: free
+    xes = [r[0].reshape(eg * hb, w) for r, eg in zip(xe_refs, es)]
     xc = xc_ref[0].reshape(4 * hb, w)
-    xe, xc = _mask_invalid_rows(xe, xc, hb, h, i)
-    prec = precision_for(xe.dtype)
-    # one dot scores all hb rows for all centers: rows ordered k-major so
-    # the argmin is an unrolled leading-dim min below. Only the k REAL
-    # center rows are expanded (M = k*hb, not _K_PAD*hb) — MXU cost scales
-    # with M and k=5 of 8 padded rows would be 37% pure waste.
+    xc, = (_mask_invalid_rows_one(xc, hb, h, i),)
+    xes = [_mask_invalid_rows_one(x, hb, h, i) for x in xes]
+    prec = precision_for(xc.dtype)
+    # one dot per group scores all hb rows for all centers: rows ordered
+    # k-major so the argmin is an unrolled leading-dim min below. Only the
+    # k REAL center rows are expanded (M = k*hb, not _K_PAD*hb) — MXU cost
+    # scales with M and k=5 of 8 padded rows would be 37% pure waste.
     s = jax.lax.dot_general(
-        wce_ref[0], xe, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) + jax.lax.dot_general(
         wcc_ref[0], xc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    )  # (k*HB, W)
+    )
+    for xg, wg in zip(xes, wce_refs):
+        s = s + jax.lax.dot_general(
+            wg[0], xg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (k*HB, W)
     s3 = s.reshape(k, hb, w)
     offs = offs_ref[0][:, 0:1]  # (8, 1)
     # scores = offs - 2*cross; unrolled first-min argmin over the k real rows
@@ -145,83 +166,104 @@ def _lloyd_chw_kernel(
     row = jax.lax.broadcasted_iota(jnp.int32, (1, hb, w), 1)
     valid = (row + i * hb) < h  # rows past the image get no vote
     sub = jax.lax.broadcasted_iota(jnp.int32, (k, hb, w), 0)
-    oh3 = ((sub == lbl[None]) & valid).astype(xe.dtype)
+    oh3 = ((sub == lbl[None]) & valid).astype(xc.dtype)
     oh = oh3.reshape(k * hb, w)
-    # raw-sum update: contract lanes (the Q @ K^T MXU form), then collapse
-    # the block-diagonal: psums[kk, (d, r')] = sum_r P[(kk, r), (d, r')]
-    # masked to r == r'
-    pe = jax.lax.dot_general(
-        oh, xe, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ).reshape(k, hb, e * hb)
-    pc = jax.lax.dot_general(
-        oh, xc, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ).reshape(k, hb, 4 * hb)
 
     def collapse(p, d):
         r = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 1)
         rp = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 2) % hb
         return jnp.sum(jnp.where(r == rp, p, 0.0), axis=1)
 
-    pse_ref[0, 0] = collapse(pe, e)
+    # raw-sum update: contract lanes (the Q @ K^T MXU form), then collapse
+    # the block-diagonal: psums[kk, (d, r')] = sum_r P[(kk, r), (d, r')]
+    # masked to r == r'
+    for xg, eg, pse_ref in zip(xes, es, pse_refs):
+        pe = jax.lax.dot_general(
+            oh, xg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).reshape(k, hb, eg * hb)
+        pse_ref[0, 0] = collapse(pe, eg)
+    pc = jax.lax.dot_general(
+        oh, xc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).reshape(k, hb, 4 * hb)
     psc_ref[0, 0] = collapse(pc, 4)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _lloyd_chw_pass(xe, xc4, wce_x, wcc_x, offs, k: int, hb: int,
-                    interpret: bool):
-    """One fused assignment+accumulate pass over (B, E, H, W) raw features.
+def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
+                    hb: int, interpret: bool):
+    """One fused assignment+accumulate pass over grouped (B, E_g, H, W) raw
+    feature buffers (a single (B, E, H, W) array = the 1-group case).
 
-    wce_x/wcc_x: block-diag expanded weights (see _expand_diag), offs:
+    wce_groups/wcc_x: block-diag expanded weights (see _expand_diag), offs:
     (B, 8, 128) f32 score offsets in column 0. Returns (labels (B, H, W)
-    int32, sums_e (B, K8, E) f32, sums_c4 (B, K8, 4) f32) — raw-space sums;
-    sums_c4[..., 3] is the member count.
+    int32, sums_e (B, K8, E) f32 concatenated over groups, sums_c4
+    (B, K8, 4) f32) — raw-space sums; sums_c4[..., 3] is the member count.
     """
-    b, e, h, w = xe.shape
+    if not isinstance(xe_groups, (tuple, list)):
+        xe_groups = (xe_groups,)
+    if not isinstance(wce_groups, (tuple, list)):
+        wce_groups = (wce_groups,)
+    b, _, h, w = xe_groups[0].shape
+    es = tuple(x.shape[1] for x in xe_groups)
     nb = _num_blocks(h)
     kernel = functools.partial(
-        _lloyd_chw_kernel, k=k, e=e, hb=hb, h=h, w=w
+        _lloyd_chw_kernel, k=k, es=es, hb=hb, h=h, w=w
     )
-    labels, pse, psc = pl.pallas_call(
+    in_specs = (
+        [pl.BlockSpec((1, eg, hb, w), lambda bi, i: (bi, 0, i, 0),
+                      memory_space=pltpu.VMEM) for eg in es]
+        + [pl.BlockSpec((1, 4, hb, w), lambda bi, i: (bi, 0, i, 0),
+                        memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, k * hb, eg * hb), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM) for eg in es]
+        + [pl.BlockSpec((1, k * hb, 4 * hb), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_specs = (
+        [pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, 1, k, eg * hb), lambda bi, i: (bi, i, 0, 0),
+                        memory_space=pltpu.VMEM) for eg in es]
+        + [pl.BlockSpec((1, 1, k, 4 * hb), lambda bi, i: (bi, i, 0, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((b, h, w), jnp.int32)]
+        + [jax.ShapeDtypeStruct((b, nb, k, eg * hb), jnp.float32)
+           for eg in es]
+        + [jax.ShapeDtypeStruct((b, nb, k, 4 * hb), jnp.float32)]
+    )
+    e = sum(es)
+    outs = pl.pallas_call(
         kernel,
         grid=(b, nb),
-        in_specs=[
-            pl.BlockSpec((1, e, hb, w), lambda bi, i: (bi, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, hb, w), lambda bi, i: (bi, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * hb, e * hb), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * hb, 4 * hb), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k, e * hb), lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k, 4 * hb), lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-            jax.ShapeDtypeStruct((b, nb, k, e * hb), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, k, 4 * hb), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * nb * k * hb * (e + 4) * hb * w),
-            bytes_accessed=int(xe.dtype.itemsize * b * (e + 4) * h * w),
+            bytes_accessed=int(
+                xe_groups[0].dtype.itemsize * b * (e + 4) * h * w
+            ),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xe, xc4, wce_x, wcc_x, offs)
-    sums_e = jnp.sum(pse, axis=1).reshape(b, k, e, hb).sum(axis=3)
+    )(*xe_groups, xc4, *wce_groups, wcc_x, offs)
+    labels = outs[0]
+    pses = outs[1 : 1 + len(es)]
+    psc = outs[1 + len(es)]
+    sums_e = jnp.concatenate(
+        [jnp.sum(p, axis=1).reshape(b, k, eg, hb).sum(axis=3)
+         for p, eg in zip(pses, es)],
+        axis=2,
+    )
     sums_c = jnp.sum(psc, axis=1).reshape(b, k, 4, hb).sum(axis=3)
     return labels, sums_e, sums_c
 
@@ -439,11 +481,15 @@ def _maximin_init_chw(xe, xc4, a, b_aff, k: int, hb: int, interpret: bool):
 def _affine_params(xe, xc4, cluster_cfg, eps: float):
     """Per-row standardization affine over raw CHW buffers: x = a*r + b.
 
-    Returns (a (B, D), b (B, D)) f32, D = E + 3, with the sqrt(E/3) color
-    balance and ``color_weight`` folded into the color rows — the same
-    moments/affine as ops/features.py::_norm_affine, computed in the
-    (h, w)-tiled layout."""
-    b, e, _, _ = xe.shape
+    xe: (B, E, H, W) or a tuple of per-group (B, E_g, H, W) buffers (the
+    concat-free pipeline form; per-channel moments are independent, so
+    grouped computation is identical). Returns (a (B, D), b (B, D)) f32,
+    D = E + 3, with the sqrt(E/3) color balance and ``color_weight`` folded
+    into the color rows — the same moments/affine as
+    ops/features.py::_norm_affine, computed in the (h, w)-tiled layout."""
+    groups = tuple(xe) if isinstance(xe, (tuple, list)) else (xe,)
+    b = groups[0].shape[0]
+    e = sum(g.shape[1] for g in groups)
     f32 = jnp.float32
     cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
     if not cluster_cfg.normalize:
@@ -457,7 +503,9 @@ def _affine_params(xe, xc4, cluster_cfg, eps: float):
         sq = jnp.mean(jnp.square(x.astype(f32)), axis=(2, 3))
         return mean, jnp.sqrt(jnp.maximum(sq - jnp.square(mean), 0.0))
 
-    m_e, s_e = moments(xe)
+    mse = [moments(g) for g in groups]
+    m_e = jnp.concatenate([m for m, _ in mse], axis=1)
+    s_e = jnp.concatenate([s for _, s in mse], axis=1)
     m_c, s_c = moments(xc4[:, :3])
     a_e = 1.0 / (s_e + eps)
     a_c = cw / (s_c + eps)
@@ -488,7 +536,10 @@ def kmeans_fused_chw(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused Lloyd directly on the feature kernel's CHW output.
 
-    energies_cm: (B, E, H, W) raw (unnormalized) energies; color4:
+    energies_cm: (B, E, H, W) raw (unnormalized) energies, OR a tuple of
+    per-scale-group buffers (B, E_g, H, W) exactly as the fused feature
+    kernel emits them (gabor_energies_fused(grouped=True)) — the grouped
+    form skips the full-tensor concatenation copy entirely; color4:
     (B, 4, H, W) from build_color4; affine: (a, b) from _affine_params.
     Returns (labels (B, H, W) int32, centers (B, k, E+3) f32 in NORMALIZED
     feature space — directly comparable to the xt/golden solvers').
@@ -497,20 +548,33 @@ def kmeans_fused_chw(
     twin (1/4 HBM per pass), then refine_iters full-resolution passes with
     the fixed-point early exit — the schedule of kmeans_fused_t_xt /
     golden/cluster.py (pooling raw rows commutes with the affine, so this
-    equals pooling normalized features in real arithmetic).
+    equals pooling normalized features in real arithmetic). The production
+    pipeline instead precomputes the warm start on the pooled xt twin and
+    passes ``init_centers``; the grouped input form requires that (the
+    in-function maximin/multigrid warmup falls back to a concatenated
+    buffer).
     """
     if k > _K_PAD:
         raise ValueError(f"fused chw Lloyd supports k <= {_K_PAD}, got {k}")
-    b, e, h, w = energies_cm.shape
+    groups = (
+        tuple(energies_cm)
+        if isinstance(energies_cm, (tuple, list))
+        else (energies_cm,)
+    )
+    es = tuple(x.shape[1] for x in groups)
+    b, _, h, w = groups[0].shape
+    e = sum(es)
     d = e + 3
     a, b_aff = affine
     interpret = jax.default_backend() != "tpu"
     hb = _HB
     f32 = jnp.float32
-    mm = energies_cm.dtype
+    mm = groups[0].dtype
+    bounds = np.cumsum((0,) + es)
 
     def solve(xe, xc4_, c0, max_iter):
-        """Lloyd to fixed point (<= max_iter) on one resolution level."""
+        """Lloyd to fixed point (<= max_iter) on one resolution level.
+        xe: tuple of group buffers (or a single array)."""
 
         def center_inputs(c):
             u = c - b_aff[:, None, :]  # (B, k, D)
@@ -519,7 +583,15 @@ def kmeans_fused_chw(
             # only the k real rows are expanded: MXU cost of both kernel
             # dots scales with M = k*hb, so padding to _K_PAD would be waste
             wck = jnp.zeros((b, k, d + 1), f32).at[:, :, :d].set(wc)
-            wce_x = _expand_diag(wck[:, :, :e], hb).astype(mm)
+            if isinstance(xe, tuple):
+                wce_x = tuple(
+                    _expand_diag(
+                        wck[:, :, bounds[gi] : bounds[gi + 1]], hb
+                    ).astype(mm)
+                    for gi in range(len(xe))
+                )
+            else:
+                wce_x = _expand_diag(wck[:, :, :e], hb).astype(mm)
             wcc_x = _expand_diag(wck[:, :, e:], hb).astype(mm)
             offs = jnp.zeros((b, 8, 128), f32).at[:, :k, 0].set(offs_v)
             return wce_x, wcc_x, offs
@@ -546,19 +618,27 @@ def kmeans_fused_chw(
             new = jnp.where(t < max_iter, upd, c)
             return t + 1, new, labels, jnp.any(new != c)
 
-        labels0 = jnp.zeros((b,) + xe.shape[2:], jnp.int32)
+        shp = (xe[0] if isinstance(xe, tuple) else xe).shape
+        labels0 = jnp.zeros((b,) + shp[2:], jnp.int32)
         _, c_fin, labels, _ = lax.while_loop(
             cond, body, (jnp.int32(0), c0, labels0, True)
         )
         return labels, c_fin
 
+    xe_in = groups if len(groups) > 1 else groups[0]
     if init_centers is not None:
         # externally-produced multigrid warm start (normalized feature
         # space, e.g. kmeans_pallas.kmeans_coarse_centers_xp on a pooled
         # xt buffer) — run only the full-resolution refinement here
-        labels, centers = solve(energies_cm, color4, init_centers,
-                                refine_iters)
-    elif coarse_iters > 0 and h >= 2 and w >= 2:
+        labels, centers = solve(xe_in, color4, init_centers, refine_iters)
+        return labels, centers
+    # the in-function warmup/seeding paths run on a single concatenated
+    # buffer (the production pipeline precomputes init_centers instead, so
+    # grouped callers never pay this concat)
+    energies_cm = (
+        jnp.concatenate(groups, axis=1) if len(groups) > 1 else groups[0]
+    )
+    if coarse_iters > 0 and h >= 2 and w >= 2:
         if pooled is not None:
             # the feature kernel produced the pooled twin in-VMEM
             # (fused_pallas pooled=True) — no standalone pooling pass

@@ -479,11 +479,11 @@ def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.nda
     return centers.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def kmeans_fused_t(
     x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32,
     init_stride: int = 1, hw: Tuple[int, int] = None, coarse_iters: int = 0,
-    refine_iters: int = 10,
+    refine_iters: int = 10, coarse_levels: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v3 fused Lloyd: transposed (D, N) layout, k on the 8-sublane axis.
 
@@ -500,7 +500,7 @@ def kmeans_fused_t(
     if x.ndim == 2:
         labels, centers = kmeans_fused_t(
             x[None], k, n_iter, dtype, init_stride, hw, coarse_iters,
-            refine_iters,
+            refine_iters, coarse_levels,
         )
         return labels[0], centers[0]
     b, n, d = x.shape
@@ -508,7 +508,8 @@ def kmeans_fused_t(
     # once per solve; every Lloyd pass then streams it a single time
     xt = build_xt(x, dtype)
     return kmeans_fused_t_xt(
-        xt, k, d, n, n_iter, init_stride, hw, coarse_iters, refine_iters
+        xt, k, d, n, n_iter, init_stride, hw, coarse_iters, refine_iters,
+        coarse_levels=coarse_levels,
     )
 
 
@@ -595,11 +596,11 @@ def kmeans_coarse_centers_xp(
     return cpad[:, :k, :d]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 10))
 def kmeans_fused_t_xt(
     xt: jnp.ndarray, k: int, d: int, n: int, n_iter: int = 25,
     init_stride: int = 1, hw: Tuple[int, int] = None, coarse_iters: int = 0,
-    refine_iters: int = 10, xp: jnp.ndarray = None,
+    refine_iters: int = 10, xp: jnp.ndarray = None, coarse_levels: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve on a pre-built transposed buffer (xt_geometry layout).
 
@@ -638,9 +639,17 @@ def kmeans_fused_t_xt(
     if multigrid:
         h, w = hw
         if xp is None:
-            xp, m, block_p = _pool_xt(xt, d, h, w)
+            # pool ``coarse_levels`` times (level 2 = exact 4x4 block means:
+            # 2x2 means of 2x2 means, same f32 order as golden's mirror)
+            buf = xt
+            for _ in range(coarse_levels):
+                xp, m, block_p = _pool_xt(buf, d, h, w)
+                h, w = h // 2, w // 2
+                buf = xp
         else:
-            m = (h // 2) * (w // 2)
+            for _ in range(coarse_levels):
+                h, w = h // 2, w // 2
+            m = h * w
             block_p = _block_for_t(m, dp, jnp.dtype(xt.dtype).itemsize)
             if xp.shape[2] % block_p:
                 raise ValueError(

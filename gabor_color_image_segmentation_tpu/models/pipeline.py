@@ -120,17 +120,23 @@ def _segment_batch_transposed(
     b, h, w, _ = rgb.shape
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     chw = cfg.cluster.method == "kmeans" and cfg.cluster.init_stride == 1
+    lvl = cfg.cluster.coarse_levels
     multigrid = (
-        chw and cfg.cluster.coarse_iters > 0 and h >= 4 and w >= 4
+        chw and cfg.cluster.coarse_iters > 0
+        and h >= max(4, 1 << lvl) and w >= max(4, 1 << lvl)
     )
     with jax.named_scope("features"):
         color = _color_transform(rgb, cfg.color_space)
         if multigrid:
             # the kernel emits the 2x2-pooled multigrid twin in the same
             # VMEM pass (pre-pooled smoothing Toeplitz) — a standalone
-            # pooling pass measured ~8 ms/batch-16 at config1 scale
+            # pooling pass measured ~8 ms/batch-16 at config1 scale.
+            # grouped=True: all downstream consumers (affine moments, xp
+            # assembly, the grouped CHW Lloyd) take per-scale-group buffers
+            # directly, so the full-tensor concat copy never happens.
             energies_cm, pooled_e = gabor_energies_fused(
-                color, bank, dtype, channel_major=True, pooled=True
+                color, bank, dtype, channel_major=True, pooled=True,
+                grouped=True,
             )
         else:
             energies_cm = gabor_energies_fused(
@@ -161,17 +167,24 @@ def _segment_batch_transposed(
         c0 = None
         if multigrid:
             # multigrid warmup in the xt layout: the pooled buffer is 1/4
-            # the data, so its one-time lane relayout is cheap, and an xt
-            # Lloyd pass runs at the HBM floor (~0.36 ms at config1 scale)
+            # the data (1/16 at coarse_levels=2), so its one-time lane
+            # relayout is cheap, and an xt Lloyd pass runs at the HBM floor
+            # (~0.36 ms at config1 scale, 4x less again per extra level)
             # vs ~1.7 ms for the block-diagonal CHW pooled pass. Refinement
-            # stays relayout-free in the CHW layout below.
-            e = energies_cm.shape[1]
-            m = (h // 2) * (w // 2)
+            # stays relayout-free in the CHW layout below. Deeper coarse
+            # grids pool the kernel's 2x2 twin with the exact MXU pooling
+            # matmuls (2x2 means of 2x2 means = 4x4 means; golden mirrors).
+            e = sum(g.shape[1] for g in energies_cm)
+            pe_l, pc_l, hc, wc = pooled_e, _pool2x2_cm(xc4), h // 2, w // 2
+            for _ in range(lvl - 1):
+                pe_l = tuple(_pool2x2_cm(g) for g in pe_l)
+                pc_l = _pool2x2_cm(pc_l)
+                hc, wc = hc // 2, wc // 2
+            m = hc * wc
             dp, m_pad, _ = xt_geometry(m, e + 3, dtype)
             with jax.named_scope("assemble_xp"):
                 xp = assemble_xp_from_affine(
-                    pooled_e, _pool2x2_cm(xc4), affine[0], affine[1],
-                    dp, m_pad, dtype,
+                    pe_l, pc_l, affine[0], affine[1], dp, m_pad, dtype,
                 )
             with jax.named_scope("coarse"):
                 c0 = kmeans_coarse_centers_xp(
@@ -187,11 +200,12 @@ def _segment_batch_transposed(
     dp, n_pad, _ = xt_geometry(h * w, e + 3, dtype)
     multigrid = (
         cfg.cluster.method == "kmeans" and cfg.cluster.coarse_iters > 0
-        and cfg.cluster.init_stride == 1 and h >= 2 and w >= 2
+        and cfg.cluster.init_stride == 1
+        and h >= (1 << lvl) and w >= (1 << lvl)
     )
     xp = None
     with jax.named_scope("assemble"):
-        if multigrid:
+        if multigrid and lvl == 1:
             from gabor_color_image_segmentation_tpu.ops.features import (
                 assemble_features_t_pooled,
             )
@@ -202,6 +216,8 @@ def _segment_batch_transposed(
                 energies_cm, color, cfg.cluster, dp, n_pad, m_pad
             )
         else:
+            # deeper coarse grids on this rarely-taken fallback leave
+            # xp=None: kmeans_fused_t_xt pools the xt buffer itself
             xt = assemble_features_t(energies_cm, color, cfg.cluster, dp, n_pad)
     with jax.named_scope("cluster"):
         if cfg.cluster.method == "gmm":
@@ -218,7 +234,7 @@ def _segment_batch_transposed(
                 xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
                 cfg.cluster.init_stride, (h, w) if multigrid else None,
                 cfg.cluster.coarse_iters if multigrid else 0,
-                cfg.cluster.refine_iters, xp=xp,
+                cfg.cluster.refine_iters, xp=xp, coarse_levels=lvl,
             )
     return labels.reshape(b, h, w).astype(jnp.int32)
 
@@ -263,6 +279,7 @@ def segment_batch(
                 (h, w),
                 cfg.cluster.coarse_iters,
                 cfg.cluster.refine_iters,
+                cfg.cluster.coarse_levels,
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.kmeans import (

@@ -259,22 +259,31 @@ def assemble_xp_from_affine(
     """Pooled channel-major buffers + precomputed affine -> normalized xp.
 
     pe_cm: (B, E, H2, W2) raw pooled energies (the feature kernel's in-VMEM
-    2x2 twin, fused_pallas pooled=True); pc4: (B, 4, H2, W2) pooled color4;
-    a, b_aff: (B, E+3) per-row standardization affine computed from the
-    FULL-resolution moments (kmeans_chw._affine_params) — pooling commutes
-    with the affine, so normalizing pooled raw rows equals pooling
-    normalized features in real arithmetic. Returns (B, dp, m_pad) in the
-    xt_geometry layout (ones-row at E+3, zero padding)."""
-    b, e, h2, w2 = pe_cm.shape
+    2x2 twin, fused_pallas pooled=True), or a tuple of per-scale-group
+    buffers (B, E_g, H2, W2) — the concat-free pipeline writes each group's
+    rows directly; pc4: (B, 4, H2, W2) pooled color4; a, b_aff: (B, E+3)
+    per-row standardization affine computed from the FULL-resolution
+    moments (kmeans_chw._affine_params) — pooling commutes with the affine,
+    so normalizing pooled raw rows equals pooling normalized features in
+    real arithmetic. Returns (B, dp, m_pad) in the xt_geometry layout
+    (ones-row at E+3, zero padding)."""
+    groups = tuple(pe_cm) if isinstance(pe_cm, (tuple, list)) else (pe_cm,)
+    b, _, h2, w2 = groups[0].shape
     m = h2 * w2
+    e = sum(g.shape[1] for g in groups)
     d = e + 3
     f32 = jnp.float32
-    e_t = pe_cm.reshape(b, e, m)
     c_t = pc4[:, :3].reshape(b, 3, m)
     xp = jnp.zeros((b, dp, m_pad), out_dtype)
-    xp = xp.at[:, :e, :m].set(
-        (e_t.astype(f32) * a[:, :e, None] + b_aff[:, :e, None]).astype(out_dtype)
-    )
+    r0 = 0
+    for g in groups:
+        eg = g.shape[1]
+        e_t = g.reshape(b, eg, m)
+        xp = xp.at[:, r0 : r0 + eg, :m].set(
+            (e_t.astype(f32) * a[:, r0 : r0 + eg, None]
+             + b_aff[:, r0 : r0 + eg, None]).astype(out_dtype)
+        )
+        r0 += eg
     xp = xp.at[:, e:d, :m].set(
         (c_t.astype(f32) * a[:, e:, None] + b_aff[:, e:, None]).astype(out_dtype)
     )

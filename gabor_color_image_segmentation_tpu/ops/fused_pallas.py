@@ -385,6 +385,7 @@ def _fused_group(
 def gabor_energies_fused(
     img: jnp.ndarray, bank: GaborBank, dtype=jnp.float32,
     channel_major: bool = False, pooled: bool = False,
+    grouped: bool = False,
 ):
     """(B,H,W,C) -> (B,H,W,C*N) smoothed energies, contract order.
 
@@ -392,19 +393,32 @@ def gabor_energies_fused(
     channel_major=True returns (B, C*N, H, W) — same feature order along
     axis 1, no NHWC transpose. pooled=True (requires channel_major)
     additionally returns the in-kernel 2x2-mean twin (B, C*N, H//2, W//2):
-    ``(energies, pooled2x2)``.
+    ``(energies, pooled2x2)``. grouped=True (requires channel_major)
+    returns the per-scale-group buffers as tuples instead of concatenating
+    along the channel axis — the concat is a pure-HBM full-tensor copy
+    (~6 ms/batch-16 at config1 scale) that grouped consumers (the CHW
+    fused Lloyd, the grouped affine/assembly) never need.
     """
     if bank.config.gamma != 1.0:
         raise ValueError("fused pallas path requires isotropic envelope gamma=1")
     if pooled and not channel_major:
         raise ValueError("pooled energies require channel_major=True")
+    if grouped and not channel_major:
+        raise ValueError("grouped energies require channel_major=True")
     if pooled:
         parts = [_fused_group(img, g, bank, dtype, True, True)
                  for g in bank.groups]
+        if grouped:
+            return (
+                tuple(p[0] for p in parts),
+                tuple(p[1] for p in parts),
+            )
         return (
             jnp.concatenate([p[0] for p in parts], axis=1),
             jnp.concatenate([p[1] for p in parts], axis=1),
         )
     parts = [_fused_group(img, g, bank, dtype, channel_major)
              for g in bank.groups]
+    if grouped:
+        return tuple(parts)
     return jnp.concatenate(parts, axis=1 if channel_major else -1)

@@ -198,3 +198,51 @@ def test_multigrid_quality_close_to_full(rng):
         return float(((x - np.asarray(c)[np.asarray(l)]) ** 2).sum())
 
     assert inertia(mg_l, mg_c) <= inertia(full_l, full_c) * 1.02
+
+
+def test_multigrid_levels2_matches_golden(rng):
+    """coarse_levels=2 (4x4 coarse grid): XLA == golden, label for label,
+    and the 4x4 grid is exactly pool2x2 applied twice in both."""
+    from gabor_color_image_segmentation_tpu.models.kmeans import (
+        kmeans_multigrid,
+        pool2x2,
+    )
+    from golden.cluster import kmeans_golden_multigrid, pool2x2_np
+
+    h, w, d = 48, 56, 6
+    x, _ = _blobs(rng, n=h * w, k=4, d=d)
+    p2 = pool2x2(x, h, w)
+    np.testing.assert_array_equal(
+        np.asarray(pool2x2(p2, h // 2, w // 2)),
+        pool2x2_np(pool2x2_np(x, h, w), h // 2, w // 2),
+    )
+    ours, c_ours = kmeans_multigrid(x, 4, (h, w), 8, 6, coarse_levels=2)
+    gold, c_gold = kmeans_golden_multigrid(x, 4, (h, w), 8, 6, coarse_levels=2)
+    agree = (np.asarray(ours) == gold).mean()
+    assert agree > 0.999, f"levels-2 multigrid label agreement {agree}"
+    np.testing.assert_allclose(np.asarray(c_ours), c_gold, atol=1e-3)
+
+
+def test_multigrid_levels2_fused_matches_xla(rng):
+    """Fused (interpret-mode) 4x4-coarse multigrid == XLA on a batch —
+    covers the internal repeated _pool_xt chain."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_multigrid
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_fused_t,
+    )
+
+    h, w, d = 72, 64, 6
+    xs = np.stack([_blobs(rng, n=h * w, k=4, d=d)[0] for _ in range(2)])
+    fused_l, fused_c = kmeans_fused_t(
+        jnp.asarray(xs), 4, 25, jnp.float32, 1, (h, w), 8, 6, coarse_levels=2
+    )
+    for i in range(2):
+        xla_l, xla_c = kmeans_multigrid(xs[i], 4, (h, w), 8, 6,
+                                        coarse_levels=2)
+        agree = (np.asarray(fused_l[i]) == np.asarray(xla_l)).mean()
+        assert agree == 1.0, f"image {i}: fused-vs-XLA levels-2 {agree}"
+        np.testing.assert_allclose(
+            np.asarray(fused_c[i]), np.asarray(xla_c), rtol=2e-5, atol=2e-5
+        )

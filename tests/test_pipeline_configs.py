@@ -120,3 +120,31 @@ def test_transposed_fast_path_gmm(batch2):
         aligned = align_labels(fast[i], ref[i])
         agree = (aligned == ref[i]).mean()
         assert agree > 0.99, agree
+
+
+def test_transposed_fast_path_multigrid_levels2(batch2):
+    """config1-shaped multigrid schedule at coarse_levels=2 (4x4 coarse
+    grid): the CHW production path == the regular NHWC path running the
+    identical schedule. Exercises the pooled-twin -> _pool2x2_cm ->
+    assemble_xp -> coarse_centers_xp -> chw-refine chain."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _segment_batch_transposed,
+    )
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    imgs, _ = batch2
+    cfg = preset("config0").replace(batch_size=2, feature_impl="pallas")
+    cfg = cfg.replace(
+        cluster=dataclasses.replace(
+            cfg.cluster, coarse_iters=6, refine_iters=4, coarse_levels=2
+        )
+    )
+    bank = make_bank(cfg.bank)
+    ref, _ = segment_batch(imgs, cfg, bank)
+    fast = _segment_batch_transposed(np.asarray(imgs), cfg, bank)
+    ref, fast = np.asarray(ref), np.asarray(fast)
+    assert fast.shape == ref.shape
+    for i in range(ref.shape[0]):
+        aligned = align_labels(fast[i], ref[i])
+        agree = (aligned == ref[i]).mean()
+        assert agree > 0.99, agree
