@@ -76,14 +76,15 @@ def main():
 
     timeit("one _em_pass", loop(
         lambda i, xt_, a_, b_, c_: jnp.sum(gp._em_pass(
-            xt_, a_ + i * jnp.float32(1e-12), b_, c_, K, block, N, False)[2])
+            xt_, a_ + i * jnp.float32(1e-12), b_, c_, K, block, N, False,
+            D)[2])
     ), xt, a, bias, const)
 
     timeit("full EM iter (inputs+pass+moments)", loop(
         lambda i, xt_, w, m, c: jnp.sum(gp._moments_to_params(
             *gp._em_pass(xt_, *gp._params_to_kernel_inputs(
                 w, m, c + i * jnp.float32(1e-12), D, dp, K),
-                K, block, N, False)[2:], D, N, K, 1e-4)[1])
+                K, block, N, False, D)[2:], D, N, K, 1e-4)[1])
     ), xt, weights, means, covs)
 
     timeit("gmm_fused_t_xt full (30 it, tol=0)", loop(

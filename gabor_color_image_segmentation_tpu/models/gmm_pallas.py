@@ -94,8 +94,10 @@ def _em_kernel(
     const_ref,  # (1, _KP, 1) f32 per-component log w + logdet - D/2 log2pi
     labels_ref,  # (1, 1, 1, block) int32
     ll_ref,  # (1, 1, 1, 1) f32 partial sum of log-likelihood
-    msums_ref,  # (1, 1, _KP, Dp) f32 partial resp-weighted sums (+counts)
-    covs_ref,  # (1, 1, k, Dp, Dp) f32 partial resp-weighted scatter
+    covst_ref,  # (1, 1, Dp, k*Dp) f32 partial TRANSPOSED scatter: row i,
+    #             col j*Dp+i' = sum_l x_i resp_j x_i' — the ones-row (i=d)
+    #             doubles as the resp-weighted sums + counts, so no separate
+    #             msums dot is issued
     *,
     k: int,
     dp: int,
@@ -133,24 +135,62 @@ def _em_kernel(
         jnp.where(valid, lse, 0.0), axis=1, keepdims=True
     )
 
-    msums_ref[0, 0] = _split_dot(resp, xt, 1)  # resp stays f32; split inside
     xf = xt.astype(jnp.float32)
-    for j in range(k):
-        rx = xf * resp[j:j + 1]  # (Dp, block) f32 — exact VPU products
-        covs_ref[0, 0, j] = _split_dot(rx, xt, 1)
+    # ONE stacked TRANSPOSED contraction for every M-step moment:
+    #   out = x @ RX^T, out[i, j*Dp + i'] = sum_l x[i, l] resp_j[l] x[i', l]
+    # (RX = component-stacked resp-weighted features). Three wins vs k
+    # separate (Dp, block) @ (block, Dp) scatter dots:
+    #   * the MXU output is (Dp, k*Dp) = 48 x 240 — the lane axis is k*Dp
+    #     wide instead of Dp, so the 128-wide tile padding is amortized
+    #     across components (~2x utilization on the pass's biggest dots)
+    #   * the ones-row (i = d) of the SAME output IS the resp-weighted sum
+    #     matrix (and its j*Dp+d entries the counts), so the separate
+    #     msums dot and its resp split disappear
+    #   * one dot per split term instead of k+1
+    # Products are identical to the per-component form; each covs entry is
+    # one f32-accumulated lane contraction either way (covs_j was never
+    # exactly symmetric — rx rounds x_i*resp — and the Cholesky consumer
+    # symmetrizes; parity floors are re-pinned in tests/test_gmm.py).
+    rx = jnp.concatenate(
+        [xf * resp[j : j + 1] for j in range(k)], axis=0
+    )  # (k*Dp, block) f32 — exact VPU products
+    dims_t = (((1,), (1,)), ((), ()))
+
+    def dot_t(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dims_t,
+            preferred_element_type=jnp.float32,
+        )
+
+    rx_hi = rx.astype(jnp.bfloat16)
+    rx_lo = (rx - rx_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if xt.dtype == jnp.bfloat16:
+        ct = dot_t(xt, rx_hi) + dot_t(xt, rx_lo)
+    else:
+        x_hi = xf.astype(jnp.bfloat16)
+        x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ct = dot_t(x_hi, rx_hi) + dot_t(x_hi, rx_lo) + dot_t(x_lo, rx_hi)
+    covst_ref[0, 0] = ct
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool,
+             d: int = None):
     """One fused E+M pass. Returns (labels (B, n_pad), ll (B,),
-    msums (B, _KP, Dp), covs (B, k, Dp, Dp)) — moments already nb-reduced."""
+    msums (B, _KP, Dp), covs (B, k, Dp, Dp)) — moments already nb-reduced.
+
+    ``d``: the feature count = the ones-row index inside the dp rows; the
+    resp-weighted sums are read off that row of the transposed scatter
+    output. None (compat default for moment-less callers) reads the last
+    row, which only differs when dp > d + 1 — pass it whenever the msums
+    output is consumed."""
     b, dp, n_pad = xt.shape
     nb = n_pad // block
     n_passes = 3 if xt.dtype == jnp.float32 else 2  # _split_dot pass count
     kernel = functools.partial(
         _em_kernel, k=k, dp=dp, block=block, n_rows=n
     )
-    labels, ll, msums, covs = pl.pallas_call(
+    labels, ll, covst = pl.pallas_call(
         kernel,
         grid=(b, nb),
         in_specs=[
@@ -168,16 +208,13 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, 1), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _KP, dp), lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k, dp, dp), lambda bi, i: (bi, i, 0, 0, 0),
+            pl.BlockSpec((1, 1, dp, k * dp), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, nb, 1, block), jnp.int32),
             jax.ShapeDtypeStruct((b, nb, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, _KP, dp), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb, k, dp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, dp, k * dp), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(2 * b * n_pad * dp * dp * k * n_passes),
@@ -189,11 +226,22 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool):
         ),
         interpret=interpret,
     )(xt, a, bias, const)
+    # transposed-scatter readout: ct[i, j*dp + i'] = covs_j[i', i]; the
+    # ones-row (i = d) carries the resp-weighted sums, its j*dp+d entries
+    # the counts — the (B, _KP, Dp) msums layout of the old separate dot
+    ct = jnp.sum(covst, axis=1)  # (B, dp, k*dp)
+    covs = jnp.transpose(
+        ct.reshape(b, dp, k, dp), (0, 2, 3, 1)
+    )  # (B, k, dp, dp)
+    d_ones = dp - 1 if d is None else d
+    msums = jnp.zeros((b, _KP, dp), jnp.float32).at[:, :k].set(
+        ct[:, d_ones].reshape(b, k, dp)
+    )
     return (
         labels.reshape(b, n_pad),
         jnp.sum(ll, axis=(1, 2, 3)),
-        jnp.sum(msums, axis=1),
-        jnp.sum(covs, axis=1),
+        msums,
+        covs,
     )
 
 
@@ -299,7 +347,7 @@ def gmm_fused_t_xt(
     def em(params):
         a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
         labels, ll, msums, covs = _em_pass(
-            xt, a, bias, const, k, block, n, interpret
+            xt, a, bias, const, k, block, n, interpret, d
         )
         new = _moments_to_params(msums, covs, d, n, k, reg_covar)
         return new, ll / n, labels  # (B,) per-image mean log-likelihood
