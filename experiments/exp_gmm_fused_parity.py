@@ -42,6 +42,19 @@ def main():
               f"fused-vs-gold {agree(l_fused, gold):.4f}  "
               f"xla-vs-fused {agree(l_xla, l_fused):.4f}", flush=True)
 
+    # production config2 schedule (pooled fit + refine): golden mirrors the
+    # schedule, so agreement must hold at the same >=0.999 bar on the
+    # EM-sensitive image
+    fp, ri = cfg.cluster.gmm_fit_pool, cfg.cluster.gmm_refine_iters
+    gold, _, _ = gmm_golden(x, 5, 30, reg_covar=cfg.cluster.gmm_reg_covar,
+                            tol=1e-3, hw=(h, w), fit_pool=fp,
+                            refine_iters=ri)
+    l_fused = np.asarray(gmm_fused_t(jnp.asarray(x), 5, 30,
+                                     cfg.cluster.gmm_reg_covar, 10, 1e-3,
+                                     (h, w), fp, ri))
+    print(f"fit_pool={fp} refine={ri}: fused-vs-gold "
+          f"{agree(l_fused, gold):.4f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

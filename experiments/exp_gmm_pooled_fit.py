@@ -109,37 +109,47 @@ def main():
         dp, n_pad, _ = xt_geometry(h * w, e + 3, jnp.bfloat16)
         return assemble_features_t(ec, lab, cc, dp, n_pad)
 
-    h, w = data[0][1].shape[:2] if False else (321, 481)
+    h, w = 321, 481
     n = h * w
+    d = 39
+    dp0, n_pad0, _ = xt_geometry(n, d, jnp.bfloat16)
+    block = _block_for_t(n, dp0, 2)
 
     @jax.jit
-    def sched_full(xt_, d, block):
+    def sched_full(xt_):
         p0 = init_params(xt_, k, d, n, 10)
         p = em_loop(xt_, p0, k, d, n, block, NIT, TOL, interpret)
         return final_labels(xt_, p, k, d, n, block, interpret)
 
     @jax.jit
-    def sched_pooled(xt_, d, block):
+    def sched_pooled(xt_):
         xp, m, block_p = _pool_xt(xt_, d, h, w)
         p0 = init_params(xp, k, d, m, 10)
         p = em_loop(xp, p0, k, d, m, block_p, NIT, TOL, interpret)
         return final_labels(xt_, p, k, d, n, block, interpret)
 
-    pris = {"full": [], "pooled": []}
-    tload = {"full": 0.0, "pooled": 0.0}
+    @jax.jit
+    def sched_pooled2(xt_):
+        xp, m, _ = _pool_xt(xt_, d, h, w)
+        xp2, m2, block_p2 = _pool_xt(xp, d, h // 2, w // 2)
+        p0 = init_params(xp2, k, d, m2, 10)
+        p = em_loop(xp2, p0, k, d, m2, block_p2, NIT, TOL, interpret)
+        return final_labels(xt_, p, k, d, n, block, interpret)
+
+    pris = {"full": [], "pooled": [], "pooled2": []}
+    tload = {"full": 0.0, "pooled": 0.0, "pooled2": 0.0}
     for idx, item in enumerate(data):
         _, rgb, gt_list = item  # (image_id, rgb, [gts])
         xt = build(jnp.asarray(rgb)[None])
         fence(xt)
-        d = 39
-        block = _block_for_t(n, xt.shape[1], 2)
-        for name, fn in (("full", sched_full), ("pooled", sched_pooled)):
+        for name, fn in (("full", sched_full), ("pooled", sched_pooled),
+                         ("pooled2", sched_pooled2)):
             t0 = time.perf_counter()
-            lab = fn(xt, d, block)
+            lab = fn(xt)
             lab_np = np.asarray(lab).reshape(h, w)
             tload[name] += time.perf_counter() - t0
             pris[name].append(pri_np(lab_np, gt_list))
-    for name in ("full", "pooled"):
+    for name in ("full", "pooled", "pooled2"):
         print(
             f"{name}: mean PRI {np.mean(pris[name]):.4f} "
             f"(total wall {tload[name]:.1f} s incl compile)",

@@ -85,6 +85,7 @@ def run_config(name: str, seeds=(11, 12, 13)):
 
         df = np.abs(x_tpu - x_g)
         s1 = df.max()
+        dq = np.quantile(df, [0.5, 0.99, 0.9999])
         flips_s2 = (
             align_labels(gold_on_tpu, gold_on_gold) != gold_on_gold
         )
@@ -106,9 +107,25 @@ def run_config(name: str, seeds=(11, 12, 13)):
         )
         if m3.size:
             worst_margin = max(worst_margin, float(m3.max()))
+        # borderline-ness of the cascade flips: their relative score margin
+        # in the GOLDEN solution vs the whole-image margin distribution
+        cs = (cen_gg**2).sum(axis=1)
+        dall = cs[None, :] - 2.0 * (x_g @ cen_gg.T)
+        part = np.partition(dall, 1, axis=1)
+        pop_margin = (part[:, 1] - part[:, 0]) / (
+            np.abs(dall).max(axis=1) + 1e-30
+        )
+        m2 = (
+            margins(x_g, cen_gg, align_labels(gold_on_tpu, gold_on_gold),
+                    gold_on_gold, flips_s2)
+            if flips_s2.any() else np.zeros(0)
+        )
         print(
-            f"seed {seed}: S1 max|df|={s1:.3e}  "
-            f"S2 cascade flips={int(flips_s2.sum())} ({flips_s2.mean():.2e})  "
+            f"seed {seed}: S1 max|df|={s1:.3e} "
+            f"q50/q99/q99.99={dq[0]:.1e}/{dq[1]:.1e}/{dq[2]:.1e}  "
+            f"S2 cascade flips={int(flips_s2.sum())} ({flips_s2.mean():.2e})"
+            f" flip-margin max={m2.max() if m2.size else 0:.2e}"
+            f" vs population median margin={np.median(pop_margin):.2e}  "
             f"S3 kernel flips={int(flips_s3.sum())} ({flips_s3.mean():.2e})"
             f" worst S3 rel margin={m3.max() if m3.size else 0:.3e}  "
             f"e2e flips={int(flips_e2e.sum())} ({flips_e2e.mean():.2e})",

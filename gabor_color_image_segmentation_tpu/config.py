@@ -164,6 +164,22 @@ class ClusterConfig:
     # (sklearn GaussianMixture.tol semantics, mirrored in golden). 0 = run
     # exactly n_iter iterations.
     gmm_tol: float = 0.0
+    # GMM pooled-fit grid: > 0 fits the mixture on the pixel grid
+    # 2x2-mean-pooled this many times (exact block means, the multigrid
+    # Lloyd's pooling) and labels every full-resolution pixel with one
+    # final E-step — each EM pass streams 1/4^p of the data. Mirrored in
+    # golden and the XLA solver; measured mean PRI on the synthetic eval:
+    # 0.7129 (full-res fit) / 0.7178 (2x2) / 0.7226 (4x4) — block means
+    # DENOISE the covariance estimates of smooth image features
+    # (experiments/exp_gmm_pooled_fit.py). 0 = classic full-res fit.
+    gmm_fit_pool: int = 0
+    # Full-resolution EM iterations run AFTER the pooled fit, before the
+    # final E-step. Block-mean fitting shrinks within-cluster covariances
+    # (averaging removes variance), which moves the full-res log-prob
+    # decision boundaries — measured on the synthetic eval as a boundary-F
+    # drop; a couple of full-res passes restore the covariance scale at
+    # one xt stream each (experiments/exp_gmm_fitpool_eval.py).
+    gmm_refine_iters: int = 0
     seed: int = 0
 
 
@@ -278,8 +294,21 @@ PRESETS: dict[str, PipelineConfig] = {
         bank=_SMALL_BANK,
         # gmm_tol = sklearn's GaussianMixture default (1e-3): EM stops at
         # convergence instead of always burning 30 iterations; golden
-        # mirrors the identical rule so parity is preserved
-        cluster=ClusterConfig(method="gmm", k=5, n_iter=30, gmm_tol=1e-3),
+        # mirrors the identical rule so parity is preserved.
+        # gmm_fit_pool=2 + gmm_refine_iters=1: the mixture is fitted on the
+        # 4x4 block-mean grid (1/16 the pixels per EM pass), then ONE
+        # full-resolution EM pass restores the covariance scale the
+        # block-mean fit shrinks, then full-resolution labels. Measured on
+        # the 20-image synthetic eval at production bf16
+        # (exp_gmm_fitpool_eval.py, 2026-08-18):
+        #   full-res fit:        PRI 0.7129  F 0.0659  20.0 MP/s
+        #   4x4 fit, no refine:  PRI 0.7273  F 0.0194  57.3 MP/s
+        #   4x4 fit + 1 refine:  PRI 0.7288  F 0.0653  53.2 MP/s  <- this
+        # Block means denoise the mixture (better PRI) but shrink
+        # covariances (boundary-F collapse); the refine pass fixes the
+        # latter. golden mirrors the identical schedule.
+        cluster=ClusterConfig(method="gmm", k=5, n_iter=30, gmm_tol=1e-3,
+                              gmm_fit_pool=2, gmm_refine_iters=1),
         graph=GraphConfig(enabled=False),
         batch_size=8,
     ),

@@ -88,7 +88,23 @@ def _e_step(x: jnp.ndarray, params: GMMParams) -> Tuple[jnp.ndarray, jnp.ndarray
     return weighted - norm, jnp.mean(norm)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def gmm_fit_levels(h: int, w: int, fit_pool: int) -> Tuple[int, int, int]:
+    """Pooled-fit grid actually used: number of 2x2 poolings applied (each
+    level needs a non-degenerate grid and >= 4096 pooled pixels so the
+    fused sub-solvers stay well-fed) and the resulting (h, w). Single
+    source of truth for the schedule — the fused kernel, this XLA mirror,
+    the pipeline's assembly-side pooling and golden all follow it."""
+    lv = 0
+    while (
+        lv < fit_pool and h >= 4 and w >= 4
+        and (h // 2) * (w // 2) >= 4096
+    ):
+        h, w = h // 2, w // 2
+        lv += 1
+    return h, w, lv
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def gmm_fit(
     x: jnp.ndarray,
     k: int,
@@ -96,21 +112,44 @@ def gmm_fit(
     reg_covar: float = 1e-4,
     kmeans_iters: int = 10,
     tol: float = 0.0,
+    hw: Tuple[int, int] = None,
+    fit_pool: int = 0,
+    refine_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, GMMParams]:
     """(N, D) -> (labels (N,) int32, resp (N, k), params). vmap for batches.
 
     tol > 0 enables sklearn's convergence rule (GaussianMixture tol,
     _base.py fit_predict): stop when the mean log-likelihood improves by
     less than tol between EM iterations. tol=0 runs exactly n_iter
-    iterations (the fixed-count contract shared with golden/cluster.py)."""
+    iterations (the fixed-count contract shared with golden/cluster.py).
+
+    fit_pool > 0 (requires hw): the mixture is fitted on the
+    2x2^fit_pool-mean-pooled pixel grid (models.kmeans.pool2x2 applied
+    fit_pool times — exact block means) and only the final E-step labels
+    the full-resolution pixels. Same schedule as the fused kernel
+    (gmm_pallas.gmm_fused_t_xt) and golden/cluster.py::gmm_golden.
+
+    refine_iters > 0: that many full-resolution EM iterations run after
+    the (pooled) fit loop, before the final E-step — restores the
+    covariance scale that the block-mean fit shrinks (see
+    gmm_pallas.gmm_fused_t_xt docstring)."""
     x = x.astype(jnp.float32)
-    init_labels, _ = kmeans(x, k, kmeans_iters)
+    fit_x = x
+    if fit_pool > 0:
+        from gabor_color_image_segmentation_tpu.models.kmeans import pool2x2
+
+        h, w = hw
+        _, _, lv = gmm_fit_levels(h, w, fit_pool)
+        for _ in range(lv):
+            fit_x = pool2x2(fit_x, h, w)
+            h, w = h // 2, w // 2
+    init_labels, _ = kmeans(fit_x, k, kmeans_iters)
     resp0 = jax.nn.one_hot(init_labels, k, dtype=jnp.float32)
-    params0 = _m_step(x, resp0, reg_covar)
+    params0 = _m_step(fit_x, resp0, reg_covar)
 
     def em(params):
-        log_resp, ll = _e_step(x, params)
-        return _m_step(x, jnp.exp(log_resp), reg_covar), ll
+        log_resp, ll = _e_step(fit_x, params)
+        return _m_step(fit_x, jnp.exp(log_resp), reg_covar), ll
 
     if tol == 0.0:
         params = lax.fori_loop(0, n_iter, lambda _, p: em(p)[0], params0)
@@ -128,6 +167,9 @@ def gmm_fit(
         _, params, _, _ = lax.while_loop(
             cond, body, (jnp.int32(0), params0, jnp.float32(-jnp.inf), n_iter > 0)
         )
+    for _ in range(refine_iters):  # full-res refinement (see docstring)
+        log_resp, _ = _e_step(x, params)
+        params = _m_step(x, jnp.exp(log_resp), reg_covar)
     log_resp, _ = _e_step(x, params)
     labels = jnp.argmax(log_resp, axis=1).astype(jnp.int32)
     return labels, jnp.exp(log_resp), params
@@ -140,14 +182,19 @@ def gmm_predict(
     reg_covar: float = 1e-4,
     subsample: int = 1,
     tol: float = 0.0,
+    hw: Tuple[int, int] = None,
+    fit_pool: int = 0,
+    refine_iters: int = 0,
 ) -> jnp.ndarray:
     """Labels-only entry used by the pipeline.
 
     subsample > 1 fits EM on every n-th pixel and runs one final E-step over
     all pixels (documented speed knob, exact when 1 — same contract as
-    kmeans_fit_assign)."""
+    kmeans_fit_assign). fit_pool > 0 fits on the pooled grid instead (see
+    gmm_fit, incl. refine_iters); the two knobs are mutually exclusive."""
     if subsample == 1:
-        return gmm_fit(x, k, n_iter, reg_covar, 10, tol)[0]
+        return gmm_fit(x, k, n_iter, reg_covar, 10, tol, hw, fit_pool,
+                       refine_iters)[0]
     x = x.astype(jnp.float32)
     _, _, params = gmm_fit(x[::subsample], k, n_iter, reg_covar, 10, tol)
     log_resp, _ = _e_step(x, params)

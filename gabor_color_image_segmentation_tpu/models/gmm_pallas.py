@@ -312,7 +312,7 @@ def _init_moments(xt, labels, k: int, d: int):
     return msums, covs
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 11))
 def gmm_fused_t_xt(
     xt: jnp.ndarray,
     k: int,
@@ -322,6 +322,10 @@ def gmm_fused_t_xt(
     reg_covar: float = 1e-4,
     kmeans_iters: int = 10,
     tol: float = 0.0,
+    hw: tuple = None,
+    fit_pool: int = 0,
+    fit_xp: jnp.ndarray = None,
+    refine_iters: int = 0,
 ) -> jnp.ndarray:
     """Fused-EM GMM labels on a pre-built transposed buffer (xt_geometry).
 
@@ -329,28 +333,87 @@ def gmm_fused_t_xt(
     (hard one-hot M-step), then EM with sklearn's tol rule on the mean
     log-likelihood (tol=0: exactly n_iter iterations), final E-step labels.
     Returns (B, n) int32 labels.
+
+    ``fit_pool`` > 0 (requires ``hw`` = (h, w), n = h*w): the mixture is
+    FITTED on the 2x2^fit_pool-mean-pooled pixel grid (exact block means,
+    the same pooling the multigrid Lloyd uses; levels follow
+    models/gmm.py::gmm_fit_levels) and only the final E-step assigns
+    labels at full resolution. Every fit pass then streams 1/4^p of the
+    data. Mirrored by golden/cluster.py::gmm_golden and
+    models/gmm.py::gmm_fit with the identical pooling; measured
+    equal-or-better mean PRI on the synthetic eval
+    (experiments/exp_gmm_pooled_fit.py) — block means denoise the
+    covariance estimates of smooth image features.
+
+    ``fit_xp``: optional pre-built pooled fit buffer in the
+    xt_geometry(h' * w', d) layout (normalized with the SAME full-res
+    affine as ``xt``). The transposed pipeline builds it with MXU pooling
+    matmuls on the channel-major energies (ops/features.py), because
+    pooling the transposed buffer itself strides the lane axis — measured
+    ~43 ms/batch-8 at config2 scale for the two _pool_xt levels vs ~2 ms
+    for the assembly-side matmul pooling.
+
+    ``refine_iters``: full-resolution EM passes run AFTER the (pooled) fit
+    loop, before the final labeling pass. The pooled fit converges to the
+    right basin cheaply but its covariances are fitted to block MEANS —
+    averaging shrinks within-cluster variance, which moves the full-res
+    log-prob decision boundaries (measured as a boundary-F drop on the
+    synthetic eval). A couple of full-res passes restore the covariance
+    scale at the cost of one xt stream each. Mirrored by golden and the
+    XLA path.
     """
     if k > _KP:
         raise ValueError(f"fused EM supports k <= {_KP}, got {k}")
+    if fit_pool > 0 and hw is None:
+        raise ValueError("fit_pool requires hw=(h, w)")
     b, dp, n_pad = xt.shape
     block = _block_for_t(n, dp, jnp.dtype(xt.dtype).itemsize)
     if n_pad % block:
         raise ValueError(f"xt lane dim {n_pad} not a multiple of block {block}")
     interpret = jax.default_backend() != "tpu"
 
-    init_labels, _ = kmeans_fused_t_xt(xt, k, d, n, kmeans_iters)
-    lab_pad = jnp.zeros((b, n_pad), jnp.int32).at[:, :n].set(init_labels)
-    lab_pad = lab_pad.at[:, n:].set(-1)  # padded pixels vote for nobody
-    msums0, covs0 = _init_moments(xt, lab_pad, k, d)
-    params0 = _moments_to_params(msums0, covs0, d, n, k, reg_covar)
+    # the fit buffer: full-res xt, a caller-provided pooled buffer, or the
+    # _pool_xt fallback chain; levels follow models/gmm.py::gmm_fit_levels
+    from gabor_color_image_segmentation_tpu.models.gmm import gmm_fit_levels
+
+    fit_buf, m, block_f = xt, n, block
+    lv = 0
+    if fit_pool > 0:
+        h, w = hw
+        hp, wp, lv = gmm_fit_levels(h, w, fit_pool)
+    if lv > 0 and fit_xp is not None:
+        m = hp * wp
+        block_f = _block_for_t(m, dp, jnp.dtype(fit_xp.dtype).itemsize)
+        if fit_xp.shape[2] % block_f:
+            raise ValueError(
+                f"fit_xp lane dim {fit_xp.shape[2]} not a multiple of "
+                f"{block_f}"
+            )
+        fit_buf = fit_xp
+    elif lv > 0:
+        from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+            _pool_xt,
+        )
+
+        for _ in range(lv):
+            fit_buf, m, block_f = _pool_xt(fit_buf, d, h, w)
+            h, w = h // 2, w // 2
+
+    init_labels, _ = kmeans_fused_t_xt(fit_buf, k, d, m, kmeans_iters)
+    lab_pad = jnp.zeros((b, fit_buf.shape[2]), jnp.int32).at[:, :m].set(
+        init_labels
+    )
+    lab_pad = lab_pad.at[:, m:].set(-1)  # padded pixels vote for nobody
+    msums0, covs0 = _init_moments(fit_buf, lab_pad, k, d)
+    params0 = _moments_to_params(msums0, covs0, d, m, k, reg_covar)
 
     def em(params):
         a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
         labels, ll, msums, covs = _em_pass(
-            xt, a, bias, const, k, block, n, interpret, d
+            fit_buf, a, bias, const, k, block_f, m, interpret, d
         )
-        new = _moments_to_params(msums, covs, d, n, k, reg_covar)
-        return new, ll / n, labels  # (B,) per-image mean log-likelihood
+        new = _moments_to_params(msums, covs, d, m, k, reg_covar)
+        return new, ll / m, labels  # (B,) per-image mean log-likelihood
 
     ll0 = jnp.full((b,), -jnp.inf, jnp.float32)
     if tol == 0.0:
@@ -384,6 +447,14 @@ def gmm_fused_t_xt(
             cond, body, (jnp.int32(0), params0, ll0, go0)
         )
 
+    # full-resolution refinement passes (see docstring); unrolled — small
+    for _ in range(refine_iters):
+        a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
+        _, _, msums, covs = _em_pass(
+            xt, a, bias, const, k, block, n, interpret, d
+        )
+        params = _moments_to_params(msums, covs, d, n, k, reg_covar)
+
     a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
     labels, _, _, _ = _em_pass(xt, a, bias, const, k, block, n, interpret)
     return labels[:, :n]
@@ -396,16 +467,42 @@ def gmm_fused_t(
     reg_covar: float = 1e-4,
     kmeans_iters: int = 10,
     tol: float = 0.0,
+    hw: tuple = None,
+    fit_pool: int = 0,
+    refine_iters: int = 0,
 ) -> jnp.ndarray:
     """(B, N, D) (or (N, D)) -> (B, N) int32 labels via the fused EM kernel.
 
-    Builds the shared transposed buffer then solves; see gmm_fused_t_xt.
+    Builds the shared transposed buffer then solves; see gmm_fused_t_xt
+    (incl. the pooled-fit schedule behind ``hw``/``fit_pool`` and the
+    full-res ``refine_iters`` passes).
     bf16 inputs stay bf16 in STORAGE only (the pipeline-wide feature
     contract); the EM algebra is f32-accurate either way — _split_dot never
     bf16-rounds the f32 side of a product."""
     if x.ndim == 2:
-        return gmm_fused_t(x[None], k, n_iter, reg_covar, kmeans_iters, tol)[0]
+        return gmm_fused_t(x[None], k, n_iter, reg_covar, kmeans_iters, tol,
+                           hw, fit_pool, refine_iters)[0]
     b, n, d = x.shape
     dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     xt = build_xt(x, dtype)
-    return gmm_fused_t_xt(xt, k, d, n, n_iter, reg_covar, kmeans_iters, tol)
+    fit_xp = None
+    if fit_pool > 0:
+        # pooled fit buffer from the FLAT features (sublane-stride pooling,
+        # models.kmeans.pool2x2) + a small transposed build — NOT _pool_xt
+        # on the big transposed buffer, whose lane strides measured ~43
+        # ms/batch-8 at config2 scale
+        from gabor_color_image_segmentation_tpu.models.gmm import (
+            gmm_fit_levels,
+        )
+        from gabor_color_image_segmentation_tpu.models.kmeans import pool2x2
+
+        h, w = hw
+        _, _, lv = gmm_fit_levels(h, w, fit_pool)
+        if lv > 0:
+            fit_x = x
+            for _ in range(lv):
+                fit_x = pool2x2(fit_x, h, w)
+                h, w = h // 2, w // 2
+            fit_xp = build_xt(fit_x, dtype)
+    return gmm_fused_t_xt(xt, k, d, n, n_iter, reg_covar, kmeans_iters, tol,
+                          hw, fit_pool, fit_xp, refine_iters)

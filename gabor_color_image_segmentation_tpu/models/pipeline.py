@@ -221,13 +221,45 @@ def _segment_batch_transposed(
             xt = assemble_features_t(energies_cm, color, cfg.cluster, dp, n_pad)
     with jax.named_scope("cluster"):
         if cfg.cluster.method == "gmm":
+            from gabor_color_image_segmentation_tpu.models.gmm import (
+                gmm_fit_levels,
+            )
             from gabor_color_image_segmentation_tpu.models.gmm_pallas import (
                 gmm_fused_t_xt,
             )
 
+            fit_xp = None
+            hp, wp, lv = gmm_fit_levels(h, w, cfg.cluster.gmm_fit_pool)
+            if lv > 0:
+                # pooled fit buffer from the CHANNEL-MAJOR energies with
+                # MXU pooling matmuls + the full-res affine — pooling the
+                # transposed buffer itself strides the lane axis (measured
+                # ~43 ms/batch-8 at config2 scale vs ~2 ms this way);
+                # affine(pool(raw)) == pool(affine(raw)) in real arithmetic
+                from gabor_color_image_segmentation_tpu.models.kmeans_chw import (
+                    _affine_params,
+                    build_color4,
+                )
+                from gabor_color_image_segmentation_tpu.ops.features import (
+                    _pool2x2_cm,
+                    assemble_xp_from_affine,
+                )
+
+                with jax.named_scope("assemble_fit_xp"):
+                    xc4 = build_color4(color, dtype)
+                    aff = _affine_params(energies_cm, xc4, cfg.cluster, 1e-6)
+                    pe_l, pc_l = energies_cm, xc4
+                    for _ in range(lv):
+                        pe_l, pc_l = _pool2x2_cm(pe_l), _pool2x2_cm(pc_l)
+                    _, mp_pad, _ = xt_geometry(hp * wp, e + 3, dtype)
+                    fit_xp = assemble_xp_from_affine(
+                        pe_l, pc_l, aff[0], aff[1], dp, mp_pad, dtype,
+                    )
             labels = gmm_fused_t_xt(
                 xt, cfg.cluster.k, e + 3, h * w, cfg.cluster.n_iter,
                 cfg.cluster.gmm_reg_covar, 10, cfg.cluster.gmm_tol,
+                (h, w), cfg.cluster.gmm_fit_pool, fit_xp,
+                cfg.cluster.gmm_refine_iters,
             )
         else:
             labels, _ = kmeans_fused_t_xt(
@@ -300,6 +332,8 @@ def segment_batch(
                 labels = gmm_fused_t(
                     flat, cfg.cluster.k, cfg.cluster.n_iter,
                     cfg.cluster.gmm_reg_covar, 10, cfg.cluster.gmm_tol,
+                    (h, w), cfg.cluster.gmm_fit_pool,
+                    cfg.cluster.gmm_refine_iters,
                 ).reshape(b, h, w).astype(jnp.int32)
         else:
             from gabor_color_image_segmentation_tpu.models.gmm import gmm_predict
@@ -311,6 +345,9 @@ def segment_batch(
                 cfg.cluster.gmm_reg_covar,
                 cfg.cluster.subsample,
                 cfg.cluster.gmm_tol,
+                (h, w),
+                cfg.cluster.gmm_fit_pool,
+                cfg.cluster.gmm_refine_iters,
             )
             with jax.named_scope("cluster"):
                 labels = jax.vmap(cluster)(flat).reshape(b, h, w).astype(jnp.int32)
@@ -346,7 +383,10 @@ def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None
         bank = make_bank(cfg.bank)
     g = cfg.graph
     if not (g.enabled and g.cut == "mincut"):
-        labels, _ = segment_batch(rgb, cfg, bank)
+        # labels-only: the eval/serving entry point never consumes the
+        # feature tensor, so run the production transposed fast path where
+        # eligible (the same program the bench measures)
+        labels, _ = segment_batch(rgb, cfg, bank, False)
         return labels
 
     from gabor_color_image_segmentation_tpu.models.graph import mincut_segment

@@ -103,29 +103,53 @@ def gmm_golden(
     n_iter: int = 30,
     reg_covar: float = 1e-4,
     tol: float = 0.0,
+    hw: tuple[int, int] = None,
+    fit_pool: int = 0,
+    refine_iters: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Full-covariance GMM EM with k-means (maximin) init; sklearn semantics
     (_gaussian_mixture.py: estimate params / precision cholesky / log prob).
 
     tol > 0 mirrors models/gmm.py (and sklearn GaussianMixture.tol): stop
     when the mean log-likelihood improves by less than tol between EM
-    iterations. Returns (labels (N,), resp (N,k), params dict).
+    iterations. fit_pool > 0 (requires hw) mirrors the device pooled-fit
+    schedule: the mixture is fitted on the 2x2^fit_pool block-mean grid
+    (pool2x2_np applied fit_pool times) and the final E-step labels every
+    full-resolution pixel. refine_iters > 0 then runs that many
+    full-resolution EM iterations before the final E-step (restores the
+    covariance scale the block-mean fit shrinks — device twin:
+    gmm_pallas.gmm_fused_t_xt). Returns (labels (N,), resp (N,k), params
+    dict).
     """
     x = x.astype(np.float64)
     n, d = x.shape
-    labels, centers = kmeans_golden(x.astype(np.float32), k, n_iter=10)
+    fit_x = x
+    if fit_pool > 0:
+        # level guard replicated from gmm_pallas.gmm_fused_t_xt (schedule
+        # parity): stop before the grid degenerates or the fit set is tiny
+        h, w = hw
+        for _ in range(fit_pool):
+            if h < 4 or w < 4 or (h // 2) * (w // 2) < 4096:
+                break
+            fit_x = pool2x2_np(fit_x, h, w)
+            h, w = h // 2, w // 2
+    m = fit_x.shape[0]
+    labels, centers = kmeans_golden(fit_x.astype(np.float32), k, n_iter=10)
     # initial responsibilities from hard k-means labels
-    resp = np.zeros((n, k))
-    resp[np.arange(n), labels] = 1.0
-    weights, means, covs = _m_step(x, resp, reg_covar)
+    resp = np.zeros((m, k))
+    resp[np.arange(m), labels] = 1.0
+    weights, means, covs = _m_step(fit_x, resp, reg_covar)
     prev_ll = -np.inf
     for _ in range(n_iter):
-        log_resp, ll = _e_step_ll(x, weights, means, covs)
+        log_resp, ll = _e_step_ll(fit_x, weights, means, covs)
         resp = np.exp(log_resp)
-        weights, means, covs = _m_step(x, resp, reg_covar)
+        weights, means, covs = _m_step(fit_x, resp, reg_covar)
         if tol > 0.0 and abs(ll - prev_ll) < tol:
             break
         prev_ll = ll
+    for _ in range(refine_iters):  # full-res refinement (see docstring)
+        log_resp, _ = _e_step_ll(x, weights, means, covs)
+        weights, means, covs = _m_step(x, np.exp(log_resp), reg_covar)
     log_resp = _e_step(x, weights, means, covs)
     labels = np.argmax(log_resp, axis=1).astype(np.int32)
     return labels, np.exp(log_resp), {"weights": weights, "means": means, "covs": covs}

@@ -148,3 +148,34 @@ def test_transposed_fast_path_multigrid_levels2(batch2):
         aligned = align_labels(fast[i], ref[i])
         agree = (aligned == ref[i]).mean()
         assert agree > 0.99, agree
+
+
+def test_transposed_gmm_pooled_fit_matches_regular():
+    """gmm_fit_pool through the transposed pipeline (assembly-side matmul
+    pooling + fit_xp) == the regular NHWC path (internal _pool_xt chain) —
+    the two build the pooled fit buffer by different routes that are equal
+    in real arithmetic. Image large enough to clear the 4096-pixel level
+    guard."""
+    import dataclasses as _dc
+
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _segment_batch_transposed,
+    )
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    imgs = np.stack(
+        [synthetic_mosaic(h=160, w=224, n_regions=4, seed=40 + i)[0]
+         for i in range(2)]
+    )
+    cfg = preset("config2").replace(batch_size=2, feature_impl="pallas")
+    cfg = cfg.replace(
+        cluster=_dc.replace(cfg.cluster, n_iter=8, gmm_fit_pool=1,
+                            gmm_refine_iters=1)
+    )
+    bank = make_bank(cfg.bank)
+    ref, _ = segment_batch(imgs, cfg, bank)
+    fast = _segment_batch_transposed(np.asarray(imgs), cfg, bank)
+    ref, fast = np.asarray(ref), np.asarray(fast)
+    for i in range(2):
+        agree = (align_labels(fast[i], ref[i]) == ref[i]).mean()
+        assert agree > 0.99, agree
