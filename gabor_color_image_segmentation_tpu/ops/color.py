@@ -45,8 +45,17 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
         rgb = rgb.astype(jnp.float32) / 255.0
     rgb = rgb.astype(jnp.float32)
     lin = srgb_to_linear(rgb)
-    m = jnp.asarray(_RGB2XYZ, dtype=jnp.float32)
-    xyz = lin @ m.T
+    # Explicit per-channel FMAs, NOT ``lin @ m.T``: on TPU a DEFAULT-
+    # precision f32 matmul rounds its operands to bf16 — measured 5.3e-3
+    # relative error on a/b (vs 1e-6 for this form), the dominant term of
+    # the whole fp32-mode feature-parity budget (exp_parity_flips.py).
+    # A 3-wide contraction is VPU work anyway; this form is exact f32.
+    r, g, b_ = lin[..., 0], lin[..., 1], lin[..., 2]
+    m = _RGB2XYZ
+    xyz = jnp.stack(
+        [m[i][0] * r + m[i][1] * g + m[i][2] * b_ for i in range(3)],
+        axis=-1,
+    )
     xyz = xyz / jnp.asarray(_WHITE, dtype=jnp.float32)
     f = _lab_f(xyz)
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]

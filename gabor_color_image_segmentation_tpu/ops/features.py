@@ -53,6 +53,16 @@ def _reflect_pad(x: jnp.ndarray, rh: int, rw: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (rh, rh), (rw, rw), (0, 0)), mode="reflect")
 
 
+def _conv_precision(dtype):
+    """f32 mode pins HIGHEST (TPU DEFAULT rounds f32 conv operands to
+    bf16 — the repo-wide precision rule); bf16 operands are already
+    bf16-exact, so DEFAULT is lossless and faster there."""
+    return (
+        lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+        else lax.Precision.DEFAULT
+    )
+
+
 def _depthwise_conv(x: jnp.ndarray, filt: jnp.ndarray, dtype) -> jnp.ndarray:
     """VALID depthwise-grouped correlation. x: (B,H,W,C), filt: (k,k,1,F) per
     channel; the filter block is tiled across C groups -> (B,H',W',C*F)."""
@@ -66,6 +76,7 @@ def _depthwise_conv(x: jnp.ndarray, filt: jnp.ndarray, dtype) -> jnp.ndarray:
         dimension_numbers=_DN,
         feature_group_count=c,
         preferred_element_type=jnp.float32,
+        precision=_conv_precision(dtype),
     )
     return out
 
@@ -81,12 +92,14 @@ def _separable_smooth(x: jnp.ndarray, taps: jnp.ndarray, dtype) -> jnp.ndarray:
         x.astype(dtype), tv.astype(dtype), (1, 1), "VALID",
         dimension_numbers=_DN, feature_group_count=c,
         preferred_element_type=jnp.float32,
+        precision=_conv_precision(dtype),
     )
     x = _reflect_pad(x, 0, r)
     x = lax.conv_general_dilated(
         x.astype(dtype), th.astype(dtype), (1, 1), "VALID",
         dimension_numbers=_DN, feature_group_count=c,
         preferred_element_type=jnp.float32,
+        precision=_conv_precision(dtype),
     )
     return x
 
