@@ -46,6 +46,12 @@ from gabor_color_image_segmentation_tpu.ops.modulated import (
     group_frequencies,
 )
 
+# Banded-dot chunk tuning (see _chunk_step inside _group_kernel). Module
+# globals so the sweep experiment can retune; production values are the
+# measured optimum.
+_CHUNK_MODE = "fixed"  # "fixed": step = _CHUNK_WINDOW rows/cols per chunk
+_CHUNK_WINDOW = 128
+
 
 def _toeplitz(taps: np.ndarray, n_out: int, dtype) -> np.ndarray:
     """(n_out, n_out + len(taps) - 1) banded correlation matrix T with
@@ -108,24 +114,43 @@ def _group_kernel(
 
     # Banded-block dots: every Toeplitz here touches only a k- or 2r-wide
     # band, but a dense (H, Hp) @ (Hp, Wp) pays the full Hp contraction for
-    # every output row. Splitting the output into 128-row (sublane-tile)
-    # chunks shrinks each chunk's contraction window to (128 + band) — a
-    # 45-70% MAC cut at BSDS scale. Only exact-zero terms are dropped, so
-    # results are bitwise-identical per element. Reflections folded into the
-    # smoothing Toeplitz stay inside [max(0, r0-r), min(n, r1+r)) for every
-    # chunk (border chunks clamp to the matrix edge), so the windows cover
-    # them exactly. ``scale`` maps output rows to input coordinates (2 for
-    # the stride-2 pooled-smoothing matrices, whose row i covers input
+    # every output row. Splitting the output into chunks shrinks each
+    # chunk's contraction window to (chunk + band). The chunk size is
+    # chosen so that window <= 128 — the MXU pads the contraction dim to a
+    # multiple of 128 lanes, so a (128 + band)-wide window silently costs
+    # 256 MACs/row while (128 - band) rows at window exactly <= 128 hit the
+    # 128 MACs/row floor (measured ~1.5x on the whole kernel vs fixed
+    # 128-row chunks). Only exact-zero terms are dropped, so results are
+    # bitwise-identical per element. Reflections folded into the smoothing
+    # Toeplitz stay inside [max(0, r0-r), min(n, r1+r)) for every chunk
+    # (border chunks clamp to the matrix edge), so the windows cover them
+    # exactly. ``scale`` maps output rows to input coordinates (2 for the
+    # stride-2 pooled-smoothing matrices, whose row i covers input
     # [2i + off_lo, 2i + 1 + off_hi]).
+    def _chunk_step(band: int, scale: int) -> int:
+        # chunk size of the banded dots: _CHUNK_MODE "fixed" reproduces the
+        # original fixed-128-row chunking; "window" targets a fixed
+        # contraction window (scale*step + band ~= _CHUNK_WINDOW). Swept on
+        # TPU 2026-08-18 (see exp_bandstep.py): fixed-128 won — smaller
+        # windows cut MACs but the extra dot dispatches cost more.
+        if _CHUNK_MODE == "fixed":
+            return _CHUNK_WINDOW
+        for window in (_CHUNK_WINDOW, 256, 384, 512):
+            step = ((window - band) // scale) // 16 * 16
+            if step >= 16:
+                return step
+        return 128
+
     def dot_banded_left(t_ref, m, off_lo, off_hi, scale=1):
         rows, cols = t_ref.shape
-        if rows <= 128 and scale == 1:
+        step = _chunk_step(off_hi - off_lo, scale)
+        if rows <= max(step, 128) and scale == 1:
             return jnp.dot(t_ref[...], m,
                            preferred_element_type=jnp.float32,
                            precision=precision)
         parts = []
-        for r0 in range(0, rows, 128):
-            r1 = min(rows, r0 + 128)
+        for r0 in range(0, rows, step):
+            r1 = min(rows, r0 + step)
             a = max(0, scale * r0 + off_lo)
             b = min(cols, scale * r1 + off_hi)
             parts.append(jnp.dot(t_ref[r0:r1, a:b], m[a:b],
@@ -135,13 +160,14 @@ def _group_kernel(
 
     def dot_banded_right(m, t_ref, off_lo, off_hi, scale=1):
         rows, cols = t_ref.shape
-        if cols <= 128 and scale == 1:
+        step = _chunk_step(off_hi - off_lo, scale)
+        if cols <= max(step, 128) and scale == 1:
             return jnp.dot(m, t_ref[...],
                            preferred_element_type=jnp.float32,
                            precision=precision)
         parts = []
-        for c0 in range(0, cols, 128):
-            c1 = min(cols, c0 + 128)
+        for c0 in range(0, cols, step):
+            c1 = min(cols, c0 + step)
             a = max(0, scale * c0 + off_lo)
             b = min(rows, scale * c1 + off_hi)
             parts.append(jnp.dot(m[:, a:b], t_ref[a:b, c0:c1],
