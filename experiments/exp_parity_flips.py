@@ -76,7 +76,7 @@ def run_config(name: str, seeds=(11, 12, 13)):
             if multigrid:
                 return kmeans_golden_multigrid(
                     x, cc.k, (h, w), cc.coarse_iters, cc.refine_iters,
-                    cc.coarse_levels,
+                    cc.coarse_levels, cc.mid_iters,
                 )
             return kmeans_golden(x, cc.k, cc.n_iter)
 

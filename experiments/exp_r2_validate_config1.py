@@ -75,6 +75,7 @@ def main():
         gold, _ = kmeans_golden_multigrid(
             feats.reshape(-1, feats.shape[-1]), cc.k, (h, w),
             cc.coarse_iters, cc.refine_iters, cc.coarse_levels,
+            cc.mid_iters,
         )
         print(
             f"golden seed {s}: bf16 {agreement(fast_b[i], gold):.4f} "

@@ -110,7 +110,7 @@ def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
 
             kmeans_golden_multigrid(
                 feats.reshape(-1, d), c.k, (h, w), c.coarse_iters,
-                c.refine_iters, c.coarse_levels,
+                c.refine_iters, c.coarse_levels, c.mid_iters,
             )
         else:
             kmeans_golden(feats.reshape(-1, d), c.k, c.n_iter)

@@ -142,6 +142,18 @@ class ClusterConfig:
     # warmup useless — tests/test_kmeans.py documents the failure mode).
     coarse_iters: int = 0
     refine_iters: int = 10
+    # Intermediate-level Lloyd passes of the multigrid schedule: with
+    # coarse_levels >= 2, run ``mid_iters`` Lloyd iterations at EACH
+    # intermediate pooled level (coarsest-1 .. level 1, ascending) between
+    # the coarse warmup and the full-resolution refinement. A 2x2-level
+    # pass streams 1/4 the bytes of a full-res pass, so a few mid passes
+    # let ``refine_iters`` drop sharply: measured at config1 (batch-16
+    # bf16, TPU v5 lite) mid=3/refine=1 matches mid=0/refine=5 PRI exactly
+    # (0.6994) at 0.999 label agreement for ~5 ms less per batch
+    # (experiments/exp_mid_level.py). Mirrored by golden and the XLA
+    # multigrid. 0 = no intermediate passes (the coarse centers feed the
+    # full-res refinement directly).
+    mid_iters: int = 0
     # Coarse-grid depth of the multigrid schedule: the warmup grid is the
     # full grid 2x2-mean-pooled ``coarse_levels`` times (1 = 2x2 blocks,
     # 2 = 4x4 blocks = 1/16 the pixels). Deeper grids make the warmup

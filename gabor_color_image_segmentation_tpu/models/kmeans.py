@@ -226,7 +226,7 @@ def fused_solver_ready(k: int, n: int, n_max: int = SOLVER_N_MAX) -> bool:
     return fused_solver_eligible(k, n, n_max)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def kmeans_multigrid(
     x: jnp.ndarray,
     k: int,
@@ -235,19 +235,27 @@ def kmeans_multigrid(
     refine_iters: int,
     dtype=jnp.float32,
     coarse_levels: int = 1,
+    mid_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multigrid Lloyd (XLA path): maximin seed + ``coarse_iters`` Lloyd
     iterations on the pooled grid (pool2x2 applied ``coarse_levels`` times;
-    level 2 = exact 4x4 block means), then up to ``refine_iters``
-    full-resolution iterations (fixed-point early exit) and a full-res
-    assignment. x: (N, D) with N = h*w. Deterministic schedule, mirrored by
-    golden/cluster.py::kmeans_golden_multigrid; measured PRI equal-or-better
-    vs 25 full iterations at ~1/3 the cost (experiments/exp_multigrid.py)."""
+    level 2 = exact 4x4 block means), optionally ``mid_iters`` Lloyd
+    iterations at each intermediate pooled level (ascending), then up to
+    ``refine_iters`` full-resolution iterations (fixed-point early exit)
+    and a full-res assignment. x: (N, D) with N = h*w. Deterministic
+    schedule, mirrored by golden/cluster.py::kmeans_golden_multigrid;
+    measured PRI equal-or-better vs 25 full iterations at ~1/3 the cost
+    (experiments/exp_multigrid.py; mid levels: exp_mid_level.py)."""
+    levels = []
     xp, (h, w) = x, hw
     for _ in range(coarse_levels):
         xp = pool2x2(xp, h, w)
         h, w = h // 2, w // 2
-    _, centers = kmeans(xp, k, coarse_iters, dtype)
+        levels.append(xp)
+    _, centers = kmeans(levels[-1], k, coarse_iters, dtype)
+    if mid_iters > 0:
+        for xl in reversed(levels[:-1]):
+            _, centers = kmeans(xl, k, mid_iters, dtype, centers0=centers)
     return kmeans(x, k, refine_iters, dtype, centers0=centers)
 
 
@@ -262,6 +270,7 @@ def kmeans_batch(
     coarse_iters: int = 0,
     refine_iters: int = 10,
     coarse_levels: int = 1,
+    mid_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched per-image k-means: (B, N, D) -> ((B, N) labels, (B, k, D)).
 
@@ -295,6 +304,7 @@ def kmeans_batch(
                     x, k, n_iter, dtype, init_stride,
                     hw=hw, coarse_iters=coarse_iters,
                     refine_iters=refine_iters, coarse_levels=coarse_levels,
+                    mid_iters=mid_iters,
                 )
             return kmeans_fused_t(x, k, n_iter, dtype, init_stride)
         _, centers = kmeans_fused_t(fit_view, k, n_iter, dtype, init_stride)
@@ -305,7 +315,8 @@ def kmeans_batch(
     if multigrid:
         return jax.vmap(
             lambda f: kmeans_multigrid(
-                f, k, hw, coarse_iters, refine_iters, dtype, coarse_levels
+                f, k, hw, coarse_iters, refine_iters, dtype, coarse_levels,
+                mid_iters,
             )
         )(x)
     centers0 = None

@@ -111,6 +111,7 @@ def _lloyd_chw_kernel(
     # outputs: labels_ref (1, HB, W) int32,
     #          G pse_refs (1, 1, k, E_g*HB) f32 per-block partial raw sums,
     #          psc_ref (1, 1, k, 4*HB) f32 (color; row 3 = counts)
+    #          (assign_only=True drops the ps* outputs entirely)
     # The per-group operands let the feature kernel's scale-group outputs
     # feed the solver DIRECTLY — no (B, E, H, W) concatenation pass over
     # the full feature tensor (a pure-HBM copy, ~6 ms/batch-16 at config1
@@ -121,6 +122,7 @@ def _lloyd_chw_kernel(
     hb: int,
     h: int,
     w: int,
+    assign_only: bool,
 ):
     g = len(es)
     xe_refs = refs[:g]
@@ -129,8 +131,9 @@ def _lloyd_chw_kernel(
     wcc_ref = refs[2 * g + 1]
     offs_ref = refs[2 * g + 2]
     labels_ref = refs[2 * g + 3]
-    pse_refs = refs[2 * g + 4 : 3 * g + 4]
-    psc_ref = refs[3 * g + 4]
+    if not assign_only:
+        pse_refs = refs[2 * g + 4 : 3 * g + 4]
+        psc_ref = refs[3 * g + 4]
 
     i = pl.program_id(1)
     xes = [r[0].reshape(eg * hb, w) for r, eg in zip(xe_refs, es)]
@@ -162,6 +165,12 @@ def _lloyd_chw_kernel(
         lbl = jnp.where(m, jnp.int32(kk), lbl)
         best = jnp.where(m, sc, best)
     labels_ref[0] = lbl
+    if assign_only:
+        # final-assignment pass: the caller only wants labels under fixed
+        # centers, so the one-hot build + both raw-sum MXU dots (half the
+        # pass's FLOPs) are skipped — bytes streamed are identical, labels
+        # bitwise-identical (same scores, same argmin).
+        return
 
     row = jax.lax.broadcasted_iota(jnp.int32, (1, hb, w), 1)
     valid = (row + i * hb) < h  # rows past the image get no vote
@@ -190,9 +199,9 @@ def _lloyd_chw_kernel(
     psc_ref[0, 0] = collapse(pc, 4)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
-                    hb: int, interpret: bool):
+                    hb: int, interpret: bool, assign_only: bool = False):
     """One fused assignment+accumulate pass over grouped (B, E_g, H, W) raw
     feature buffers (a single (B, E, H, W) array = the 1-group case).
 
@@ -200,6 +209,7 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
     (B, 8, 128) f32 score offsets in column 0. Returns (labels (B, H, W)
     int32, sums_e (B, K8, E) f32 concatenated over groups, sums_c4
     (B, K8, 4) f32) — raw-space sums; sums_c4[..., 3] is the member count.
+    assign_only=True returns labels alone and skips the raw-sum dots.
     """
     if not isinstance(xe_groups, (tuple, list)):
         xe_groups = (xe_groups,)
@@ -209,7 +219,8 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
     es = tuple(x.shape[1] for x in xe_groups)
     nb = _num_blocks(h)
     kernel = functools.partial(
-        _lloyd_chw_kernel, k=k, es=es, hb=hb, h=h, w=w
+        _lloyd_chw_kernel, k=k, es=es, hb=hb, h=h, w=w,
+        assign_only=assign_only,
     )
     in_specs = (
         [pl.BlockSpec((1, eg, hb, w), lambda bi, i: (bi, 0, i, 0),
@@ -223,20 +234,23 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
            pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
                         memory_space=pltpu.VMEM)]
     )
-    out_specs = (
-        [pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
-                      memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((1, 1, k, eg * hb), lambda bi, i: (bi, i, 0, 0),
-                        memory_space=pltpu.VMEM) for eg in es]
-        + [pl.BlockSpec((1, 1, k, 4 * hb), lambda bi, i: (bi, i, 0, 0),
-                        memory_space=pltpu.VMEM)]
-    )
-    out_shape = (
-        [jax.ShapeDtypeStruct((b, h, w), jnp.int32)]
-        + [jax.ShapeDtypeStruct((b, nb, k, eg * hb), jnp.float32)
-           for eg in es]
-        + [jax.ShapeDtypeStruct((b, nb, k, 4 * hb), jnp.float32)]
-    )
+    out_specs = [
+        pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, w), jnp.int32)]
+    if not assign_only:
+        out_specs += (
+            [pl.BlockSpec((1, 1, k, eg * hb), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM) for eg in es]
+            + [pl.BlockSpec((1, 1, k, 4 * hb), lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)]
+        )
+        out_shape += (
+            [jax.ShapeDtypeStruct((b, nb, k, eg * hb), jnp.float32)
+             for eg in es]
+            + [jax.ShapeDtypeStruct((b, nb, k, 4 * hb), jnp.float32)]
+        )
     e = sum(es)
     outs = pl.pallas_call(
         kernel,
@@ -245,7 +259,8 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
-            flops=int(4 * b * nb * k * hb * (e + 4) * hb * w),
+            flops=int((2 if assign_only else 4)
+                      * b * nb * k * hb * (e + 4) * hb * w),
             bytes_accessed=int(
                 xe_groups[0].dtype.itemsize * b * (e + 4) * h * w
             ),
@@ -257,6 +272,8 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
         interpret=interpret,
     )(*xe_groups, xc4, *wce_groups, wcc_x, offs)
     labels = outs[0]
+    if assign_only:
+        return labels
     pses = outs[1 : 1 + len(es)]
     psc = outs[1 + len(es)]
     sums_e = jnp.concatenate(
@@ -521,7 +538,7 @@ def build_color4(color: jnp.ndarray, dtype) -> jnp.ndarray:
     return jnp.concatenate([cm, jnp.ones((b, 1, h, w), dtype)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 10))
 def kmeans_fused_chw(
     energies_cm: jnp.ndarray,
     color4: jnp.ndarray,
@@ -533,7 +550,8 @@ def kmeans_fused_chw(
     eps: float = 1e-6,
     pooled: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     init_centers: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_labels: bool = True,
+) -> Tuple[Optional[jnp.ndarray], jnp.ndarray]:
     """Fused Lloyd directly on the feature kernel's CHW output.
 
     energies_cm: (B, E, H, W) raw (unnormalized) energies, OR a tuple of
@@ -543,6 +561,9 @@ def kmeans_fused_chw(
     (B, 4, H, W) from build_color4; affine: (a, b) from _affine_params.
     Returns (labels (B, H, W) int32, centers (B, k, E+3) f32 in NORMALIZED
     feature space — directly comparable to the xt/golden solvers').
+    with_labels=False returns (None, centers) and skips the final
+    assignment pass entirely — the warm-start form used for coarse/mid
+    multigrid levels, where only the centers feed the next level.
 
     Multigrid (coarse_iters > 0): seed + coarse Lloyd on the 2x2 MXU-pooled
     twin (1/4 HBM per pass), then refine_iters full-resolution passes with
@@ -572,9 +593,15 @@ def kmeans_fused_chw(
     mm = groups[0].dtype
     bounds = np.cumsum((0,) + es)
 
-    def solve(xe, xc4_, c0, max_iter):
-        """Lloyd to fixed point (<= max_iter) on one resolution level.
-        xe: tuple of group buffers (or a single array)."""
+    def solve(xe, xc4_, c0, max_iter, need_labels=True):
+        """Lloyd to fixed point (<= max_iter) on one resolution level,
+        then one assign-only pass for the labels (skipped entirely when
+        need_labels=False — coarse/mid levels only feed centers upward).
+        xe: tuple of group buffers (or a single array). Pass/label
+        semantics identical to golden/cluster.py::kmeans_golden:
+        max_iter center updates (fixed-point early exit is an identity
+        after convergence), final labels = assignment under the final
+        centers."""
 
         def center_inputs(c):
             u = c - b_aff[:, None, :]  # (B, k, D)
@@ -598,7 +625,7 @@ def kmeans_fused_chw(
 
         def update(c):
             wce_x, wcc_x, offs = center_inputs(c)
-            labels, sums_e, sums_c = _lloyd_chw_pass(
+            _, sums_e, sums_c = _lloyd_chw_pass(
                 xe, xc4_, wce_x, wcc_x, offs, k, hb, interpret
             )
             counts = sums_c[:, :, 3]  # ones-row sums
@@ -607,21 +634,25 @@ def kmeans_fused_chw(
             ) / jnp.maximum(counts, 1.0)[:, :, None]
             new = a[:, None, :] * raw_mean + b_aff[:, None, :]
             new = jnp.where(counts[:, :, None] > 0, new, c)
-            return labels, new
+            return new
 
         def cond(carry):
-            return carry[3]
+            t, _, changed = carry
+            return changed & (t < max_iter)
 
         def body(carry):
-            t, c, _, _ = carry
-            labels, upd = update(c)
-            new = jnp.where(t < max_iter, upd, c)
-            return t + 1, new, labels, jnp.any(new != c)
+            t, c, _ = carry
+            new = update(c)
+            return t + 1, new, jnp.any(new != c)
 
-        shp = (xe[0] if isinstance(xe, tuple) else xe).shape
-        labels0 = jnp.zeros((b,) + shp[2:], jnp.int32)
-        _, c_fin, labels, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), c0, labels0, True)
+        _, c_fin, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), c0, jnp.bool_(True))
+        )
+        if not need_labels:
+            return None, c_fin
+        wce_x, wcc_x, offs = center_inputs(c_fin)
+        labels = _lloyd_chw_pass(
+            xe, xc4_, wce_x, wcc_x, offs, k, hb, interpret, True
         )
         return labels, c_fin
 
@@ -630,7 +661,9 @@ def kmeans_fused_chw(
         # externally-produced multigrid warm start (normalized feature
         # space, e.g. kmeans_pallas.kmeans_coarse_centers_xp on a pooled
         # xt buffer) — run only the full-resolution refinement here
-        labels, centers = solve(xe_in, color4, init_centers, refine_iters)
+        labels, centers = solve(
+            xe_in, color4, init_centers, refine_iters, with_labels
+        )
         return labels, centers
     # the in-function warmup/seeding paths run on a single concatenated
     # buffer (the production pipeline precomputes init_centers instead, so
@@ -651,9 +684,11 @@ def kmeans_fused_chw(
             pe = _pool2x2_cm(energies_cm)
             pc = _pool2x2_cm(color4)
         c0 = _maximin_init_chw(pe, pc, a, b_aff, k, hb, interpret)
-        _, c_w = solve(pe, pc, c0, coarse_iters)
-        labels, centers = solve(energies_cm, color4, c_w, refine_iters)
+        _, c_w = solve(pe, pc, c0, coarse_iters, False)
+        labels, centers = solve(
+            energies_cm, color4, c_w, refine_iters, with_labels
+        )
     else:
         c0 = _maximin_init_chw(energies_cm, color4, a, b_aff, k, hb, interpret)
-        labels, centers = solve(energies_cm, color4, c0, n_iter)
+        labels, centers = solve(energies_cm, color4, c0, n_iter, with_labels)
     return labels, centers

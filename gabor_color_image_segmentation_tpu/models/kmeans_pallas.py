@@ -479,11 +479,11 @@ def _maximin_init_t(xt: jnp.ndarray, k: int, n: int, stride: int = 1) -> jnp.nda
     return centers.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def kmeans_fused_t(
     x: jnp.ndarray, k: int, n_iter: int = 25, dtype=jnp.float32,
     init_stride: int = 1, hw: Tuple[int, int] = None, coarse_iters: int = 0,
-    refine_iters: int = 10, coarse_levels: int = 1,
+    refine_iters: int = 10, coarse_levels: int = 1, mid_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """v3 fused Lloyd: transposed (D, N) layout, k on the 8-sublane axis.
 
@@ -500,7 +500,7 @@ def kmeans_fused_t(
     if x.ndim == 2:
         labels, centers = kmeans_fused_t(
             x[None], k, n_iter, dtype, init_stride, hw, coarse_iters,
-            refine_iters, coarse_levels,
+            refine_iters, coarse_levels, mid_iters,
         )
         return labels[0], centers[0]
     b, n, d = x.shape
@@ -509,7 +509,7 @@ def kmeans_fused_t(
     xt = build_xt(x, dtype)
     return kmeans_fused_t_xt(
         xt, k, d, n, n_iter, init_stride, hw, coarse_iters, refine_iters,
-        coarse_levels=coarse_levels,
+        coarse_levels=coarse_levels, mid_iters=mid_iters,
     )
 
 
@@ -596,11 +596,12 @@ def kmeans_coarse_centers_xp(
     return cpad[:, :k, :d]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 10))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 10, 11))
 def kmeans_fused_t_xt(
     xt: jnp.ndarray, k: int, d: int, n: int, n_iter: int = 25,
     init_stride: int = 1, hw: Tuple[int, int] = None, coarse_iters: int = 0,
     refine_iters: int = 10, xp: jnp.ndarray = None, coarse_levels: int = 1,
+    mid_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve on a pre-built transposed buffer (xt_geometry layout).
 
@@ -642,11 +643,18 @@ def kmeans_fused_t_xt(
             # pool ``coarse_levels`` times (level 2 = exact 4x4 block means:
             # 2x2 means of 2x2 means, same f32 order as golden's mirror)
             buf = xt
+            levels = []
             for _ in range(coarse_levels):
                 xp, m, block_p = _pool_xt(buf, d, h, w)
                 h, w = h // 2, w // 2
                 buf = xp
+                levels.append((xp, m, block_p))
         else:
+            if mid_iters > 0 and coarse_levels > 1:
+                raise ValueError(
+                    "mid_iters needs the intermediate pooled buffers; "
+                    "pass xp=None so they are built in-function"
+                )
             for _ in range(coarse_levels):
                 h, w = h // 2, w // 2
             m = h * w
@@ -655,8 +663,14 @@ def kmeans_fused_t_xt(
                 raise ValueError(
                     f"xp lane dim {xp.shape[2]} not a multiple of {block_p}"
                 )
+            levels = [(xp, m, block_p)]
         c0 = _maximin_init_t_fused(xp, k, m, block_p, interpret)
         _, cpad_w = solve(xp, block_p, m, c0, coarse_iters)
+        if mid_iters > 0:
+            # intermediate-level passes, ascending (golden mirrors:
+            # kmeans_golden_multigrid mid_iters)
+            for xp_l, m_l, blk_l in reversed(levels[:-1]):
+                _, cpad_w = solve(xp_l, blk_l, m_l, cpad_w[:, :k], mid_iters)
         labels, centers_pad = solve(xt, block, n, cpad_w[:, :k], refine_iters)
     else:
         if init_stride == 1:

@@ -176,10 +176,12 @@ def _segment_batch_transposed(
             # matmuls (2x2 means of 2x2 means = 4x4 means; golden mirrors).
             e = sum(g.shape[1] for g in energies_cm)
             pe_l, pc_l, hc, wc = pooled_e, _pool2x2_cm(xc4), h // 2, w // 2
+            levels = [(pe_l, pc_l)]  # CHW pooled twins, finest first
             for _ in range(lvl - 1):
                 pe_l = tuple(_pool2x2_cm(g) for g in pe_l)
                 pc_l = _pool2x2_cm(pc_l)
                 hc, wc = hc // 2, wc // 2
+                levels.append((pe_l, pc_l))
             m = hc * wc
             dp, m_pad, _ = xt_geometry(m, e + 3, dtype)
             with jax.named_scope("assemble_xp"):
@@ -190,6 +192,19 @@ def _segment_batch_transposed(
                 c0 = kmeans_coarse_centers_xp(
                     xp, cfg.cluster.k, e + 3, m, cfg.cluster.coarse_iters
                 )
+            if cfg.cluster.mid_iters > 0:
+                # intermediate-level Lloyd on the ALREADY-RESIDENT pooled
+                # CHW twins (ascending), centers-only: each 2x2-level pass
+                # streams 1/4 of a full-res pass, cutting refine_iters —
+                # schedule mirrored by golden/kmeans_golden_multigrid and
+                # the XLA/xt multigrid (experiments/exp_mid_level.py)
+                with jax.named_scope("mid"):
+                    for pe_m, pc_m in reversed(levels[:-1]):
+                        _, c0 = kmeans_fused_chw(
+                            pe_m, pc_m, affine, cfg.cluster.k, 0, 0,
+                            cfg.cluster.mid_iters, init_centers=c0,
+                            with_labels=False,
+                        )
         with jax.named_scope("cluster"):
             labels, _ = kmeans_fused_chw(
                 energies_cm, xc4, affine, cfg.cluster.k, cfg.cluster.n_iter,
@@ -267,6 +282,8 @@ def _segment_batch_transposed(
                 cfg.cluster.init_stride, (h, w) if multigrid else None,
                 cfg.cluster.coarse_iters if multigrid else 0,
                 cfg.cluster.refine_iters, xp=xp, coarse_levels=lvl,
+                mid_iters=cfg.cluster.mid_iters if multigrid and lvl > 1
+                and xp is None else 0,
             )
     return labels.reshape(b, h, w).astype(jnp.int32)
 
@@ -312,6 +329,7 @@ def segment_batch(
                 cfg.cluster.coarse_iters,
                 cfg.cluster.refine_iters,
                 cfg.cluster.coarse_levels,
+                cfg.cluster.mid_iters,
             )[0].reshape(b, h, w).astype(jnp.int32)
     elif cfg.cluster.method == "gmm":
         from gabor_color_image_segmentation_tpu.models.kmeans import (

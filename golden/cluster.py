@@ -47,20 +47,27 @@ def pool2x2_np(x: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def kmeans_golden_multigrid(
     x: np.ndarray, k: int, hw: tuple[int, int], coarse_iters: int,
-    refine_iters: int, coarse_levels: int = 1,
+    refine_iters: int, coarse_levels: int = 1, mid_iters: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Mirror of the device multigrid Lloyd schedule
     (models/kmeans.py::kmeans_multigrid / kmeans_pallas multigrid): maximin
     seed + coarse_iters Lloyd on the pooled grid (pool2x2 applied
     ``coarse_levels`` times — level 2 = exact 4x4 block means, because 2x2
-    means of 2x2 means ARE the 4x4 mean), then refine_iters full-resolution
-    Lloyd from the warm centers."""
+    means of 2x2 means ARE the 4x4 mean), then — with mid_iters > 0 —
+    mid_iters Lloyd passes at each INTERMEDIATE pooled level ascending
+    (coarsest-1 .. the 2x2 level), then refine_iters full-resolution Lloyd
+    from the warm centers."""
     x = x.astype(np.float32)
+    levels = []
     xp, (h, w) = x, hw
     for _ in range(coarse_levels):
         xp = pool2x2_np(xp, h, w)
         h, w = h // 2, w // 2
-    _, centers = kmeans_golden(xp, k, coarse_iters)
+        levels.append(xp)
+    _, centers = kmeans_golden(levels[-1], k, coarse_iters)
+    if mid_iters > 0:
+        for xl in reversed(levels[:-1]):
+            _, centers = kmeans_golden(xl, k, mid_iters, centers0=centers)
     return kmeans_golden(x, k, refine_iters, centers0=centers)
 
 

@@ -246,3 +246,55 @@ def test_multigrid_levels2_fused_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(fused_c[i]), np.asarray(xla_c), rtol=2e-5, atol=2e-5
         )
+
+
+def test_multigrid_mid_levels_matches_golden(rng):
+    """mid_iters > 0 (intermediate 2x2-level passes between the 4x4 warmup
+    and full-res refinement): XLA == golden, label for label."""
+    from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_multigrid
+    from golden.cluster import kmeans_golden_multigrid
+
+    h, w, d = 48, 56, 6
+    x, _ = _blobs(rng, n=h * w, k=4, d=d)
+    ours, c_ours = kmeans_multigrid(
+        x, 4, (h, w), 8, 2, coarse_levels=2, mid_iters=3
+    )
+    gold, c_gold = kmeans_golden_multigrid(
+        x, 4, (h, w), 8, 2, coarse_levels=2, mid_iters=3
+    )
+    agree = (np.asarray(ours) == gold).mean()
+    assert agree > 0.999, f"mid-level multigrid label agreement {agree}"
+    np.testing.assert_allclose(np.asarray(c_ours), c_gold, atol=1e-3)
+    # the mid passes must actually move the centers: under-converge the
+    # warmup (1 coarse pass) so the intermediate level has work to do
+    _, c_skip = kmeans_multigrid(x, 4, (h, w), 1, 0, coarse_levels=2)
+    _, c_mid = kmeans_multigrid(x, 4, (h, w), 1, 0, coarse_levels=2,
+                                mid_iters=3)
+    assert (np.asarray(c_skip) != np.asarray(c_mid)).any()
+
+
+def test_multigrid_mid_levels_fused_matches_xla(rng):
+    """Fused xt solver with mid_iters == XLA with mid_iters on a batch —
+    covers the intermediate-level pooled-buffer reuse in kmeans_fused_t_xt."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_multigrid
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_fused_t,
+    )
+
+    h, w, d = 72, 64, 6
+    xs = np.stack([_blobs(rng, n=h * w, k=4, d=d)[0] for _ in range(2)])
+    fused_l, fused_c = kmeans_fused_t(
+        jnp.asarray(xs), 4, 25, jnp.float32, 1, (h, w), 8, 2,
+        coarse_levels=2, mid_iters=3,
+    )
+    for i in range(2):
+        xla_l, xla_c = kmeans_multigrid(
+            xs[i], 4, (h, w), 8, 2, coarse_levels=2, mid_iters=3
+        )
+        agree = (np.asarray(fused_l[i]) == np.asarray(xla_l)).mean()
+        assert agree == 1.0, f"image {i}: fused-vs-XLA mid-level {agree}"
+        np.testing.assert_allclose(
+            np.asarray(fused_c[i]), np.asarray(xla_c), rtol=2e-5, atol=2e-5
+        )

@@ -150,6 +150,35 @@ def test_transposed_fast_path_multigrid_levels2(batch2):
         assert agree > 0.99, agree
 
 
+def test_transposed_fast_path_mid_iters(batch2):
+    """config1-shaped schedule with intermediate-level passes (mid_iters>0):
+    the CHW production path (2x2-twin mid passes between the 4x4 xp warmup
+    and the full-res refinement) == the regular NHWC path running the
+    identical schedule through kmeans_batch."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _segment_batch_transposed,
+    )
+    from gabor_color_image_segmentation_tpu.utils.labels import align_labels
+
+    imgs, _ = batch2
+    cfg = preset("config0").replace(batch_size=2, feature_impl="pallas")
+    cfg = cfg.replace(
+        cluster=dataclasses.replace(
+            cfg.cluster, coarse_iters=6, refine_iters=1, coarse_levels=2,
+            mid_iters=3,
+        )
+    )
+    bank = make_bank(cfg.bank)
+    ref, _ = segment_batch(imgs, cfg, bank)
+    fast = _segment_batch_transposed(np.asarray(imgs), cfg, bank)
+    ref, fast = np.asarray(ref), np.asarray(fast)
+    assert fast.shape == ref.shape
+    for i in range(ref.shape[0]):
+        aligned = align_labels(fast[i], ref[i])
+        agree = (aligned == ref[i]).mean()
+        assert agree > 0.99, agree
+
+
 def test_transposed_gmm_pooled_fit_matches_regular():
     """gmm_fit_pool through the transposed pipeline (assembly-side matmul
     pooling + fit_xp) == the regular NHWC path (internal _pool_xt chain) —
