@@ -3,7 +3,7 @@
 These tests run ONLY when a real TPU backend is attached (the CPU CI suite
 skips them): they assert end-to-end MP/s/chip floors well below the measured
 numbers (BASELINE.md) so genuine regressions trip them but tunnel jitter
-does not. Measured 2026-08-18 on v5 lite: config0 106.6, config1 56.1,
+does not. Measured 2026-08-18 on v5 lite: config0 106.6, config1 63.0,
 config2 53.2, config3 51.9, config4 108.7.
 
 NOTE: tests/conftest.py forces the CPU backend for the rest of the suite;
@@ -20,7 +20,7 @@ import pytest
 
 _FLOORS = {
     "config0": 55.0,
-    "config1": 30.0,
+    "config1": 40.0,
     "config2": 28.0,
     "config3": 28.0,
     "config4": 55.0,
