@@ -245,8 +245,18 @@ def graph_segment_batch(
         gh, gw, _ = grid_shape(h, w, g.n_superpixels)
         # cv2's SLIC contract includes enforceLabelConnectivity
         # (slic.hpp:127-136); the device pass keeps every superpixel feeding
-        # the affinity graph 4-connected without leaving jit
-        sp = enforce_connectivity_device(sp, gh * gw)
+        # the affinity graph 4-connected without leaving jit. On TPU the
+        # whole-image VMEM Pallas kernel runs it (bit-identical; the XLA
+        # pass costs 22 ms/batch-8 on real fragmented SLIC output —
+        # connectivity_pallas.py docstring).
+        if jax.default_backend() == "tpu":
+            from gabor_color_image_segmentation_tpu.models.connectivity_pallas import (
+                enforce_connectivity_fused,
+            )
+
+            sp = enforce_connectivity_fused(sp, gh * gw)
+        else:
+            sp = enforce_connectivity_device(sp, gh * gw)
         fn = lambda f, s: ncut_regions(
             f, s, gh * gw, g.n_regions, g.affinity_sigma, g.eig_method
         )

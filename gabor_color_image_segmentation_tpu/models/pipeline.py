@@ -311,6 +311,20 @@ def segment_batch(
     d = feats.shape[-1]
     flat = feats.reshape(b, h * w, d)
 
+    if cfg.graph.enabled:
+        # the graph stage replaces the pixel-cluster labels wholesale, so
+        # don't emit the cluster solver at all (Pallas custom calls are not
+        # reliably DCE'd by XLA the way pure HLO is)
+        from gabor_color_image_segmentation_tpu.models.graph import (
+            graph_segment_batch,
+        )
+
+        with jax.named_scope("graph_cut"):
+            labels = graph_segment_batch(
+                feats, _color_transform(rgb, "lab"), cfg
+            )
+        return labels, (feats if with_features else None)
+
     kmeans_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     if cfg.cluster.method == "kmeans":
         from gabor_color_image_segmentation_tpu.models.kmeans import kmeans_batch
@@ -372,11 +386,6 @@ def segment_batch(
     else:
         raise ValueError(cfg.cluster.method)
 
-    if cfg.graph.enabled:
-        from gabor_color_image_segmentation_tpu.models.graph import graph_segment_batch
-
-        with jax.named_scope("graph_cut"):
-            labels = graph_segment_batch(feats, _color_transform(rgb, "lab"), cfg)
     return labels, (feats if with_features else None)
 
 

@@ -215,3 +215,52 @@ def test_fused_banded_batched(tiny_mosaic, small_mosaic):
         agree = (plain == fused[i]).mean()
         # bf16x3 scores: boundary-equidistant pixels may flip (see above)
         assert agree > 0.99, f"image {i} agreement {agree}"
+
+
+def test_fused_connectivity_bit_equal_random():
+    """connectivity_pallas (interpret mode on CPU) == the XLA device pass,
+    bit for bit, on heavily fragmented random labels — the survivor rule
+    (capped BFS subtree count, connectivity_pallas.py docstring) must make
+    the identical keep/absorb decisions as the true-counts histogram."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.connectivity_pallas import (
+        enforce_connectivity_fused,
+    )
+    from gabor_color_image_segmentation_tpu.models.slic import (
+        enforce_connectivity_device,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w, n_sp, min_size in [(48, 64, 12, 16), (40, 56, 9, 10)]:
+        base = rng.integers(0, n_sp, ((h + 7) // 8, (w + 7) // 8))
+        lab = np.kron(base, np.ones((8, 8), int))[:h, :w]
+        noise = rng.integers(0, n_sp, (h, w))
+        lab = np.where(rng.random((h, w)) < 0.25, noise, lab)
+        lab = np.stack([lab, lab[:, ::-1]]).astype(np.int32)
+        a = np.asarray(enforce_connectivity_device(jnp.asarray(lab), n_sp, min_size))
+        b = np.asarray(enforce_connectivity_fused(jnp.asarray(lab), n_sp, min_size))
+        assert (a == b).all(), f"{h}x{w}: {(a != b).sum()} differing pixels"
+
+
+def test_fused_connectivity_on_slic_output(small_mosaic):
+    """Same bit-equality on a real SLIC label map (golden-path input),
+    including the default min_size/s_max derivation."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.connectivity_pallas import (
+        enforce_connectivity_fused,
+    )
+    from gabor_color_image_segmentation_tpu.models.slic import (
+        enforce_connectivity_device,
+        grid_shape,
+    )
+
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    h, w = lab.shape[:2]
+    sp = np.asarray(slic(lab, 48, 10.0, 5))[None].astype(np.int32)
+    gh, gw, _ = grid_shape(h, w, 48)
+    a = np.asarray(enforce_connectivity_device(jnp.asarray(sp), gh * gw))
+    b = np.asarray(enforce_connectivity_fused(jnp.asarray(sp), gh * gw))
+    assert (a == b).all(), f"{(a != b).sum()} differing pixels"
