@@ -15,10 +15,12 @@ image is ~620 KB; every fixpoint step is VPU work on resident data):
    a fixed point — the same algorithm and id convention as the XLA pass
    (component id = min flat index), bit-identical results.
 2. Component-size test WITHOUT a histogram: a capped BFS subtree count.
-   dist = BFS depth from each root inside its component (``min_size``
-   Jacobi steps); parent = first neighbor (up, left, right, down) one step
-   closer; v = Jacobi subtree sums for ``min_size`` steps, so
-   v[root] = #pixels within tree depth <= min_size. For a 4-connected
+   dist = BFS depth from each root inside its component (Jacobi steps to
+   a fixpoint, capped at ``min_size``); parent = first neighbor (up,
+   left, right, down) one step closer; v = Jacobi subtree sums saturated
+   at ``min_size`` (again fixpoint-capped at ``min_size`` steps), so
+   v[root] = min(#pixels within tree depth <= min_size, min_size). For a
+   4-connected
    component, (v[root] >= min_size) == (true size >= min_size): if the
    true size is >= min_size, BFS layers 0..min_size-1 alone hold >=
    min_size pixels; if smaller, every pixel sits at depth < size <=
@@ -143,19 +145,34 @@ def _enforce_kernel(
         lambda s: s[1], cc_body, (_pass_extreme(iota, labels, "min"), True)
     )
 
-    # ---- 2. capped BFS subtree count (see module docstring)
+    # ---- 2. capped BFS subtree count (see module docstring). Both BFS
+    # loops run to their FIXPOINT with a min_size iteration cap instead of
+    # a fixed min_size iterations: once an update changes nothing, every
+    # further iteration is a no-op, so early exit is bit-exact — and SLIC
+    # blobs/fragments converge in ~their diameter (~20-30 steps), not 100
+    # (measured ~2x on the whole kernel). The int16 variant of these loops
+    # (2 elts/word on the VPU) is a dead end on this toolchain: Mosaic
+    # can't relayout i1 masks between the (8,128) and (16,128) worlds and
+    # fails to legalize arith.minsi on packed i16 vectors (2026-08-18).
     root = comp == iota
     dist0 = jnp.where(root, 0, _BIG)
 
-    def dist_body(_, dist):
+    def dist_cond(state):
+        _, changed, t = state
+        return jnp.logical_and(changed, t < min_size)
+
+    def dist_body(state):
+        dist, _, t = state
         nd = dist
         for dy, dx in _PRIO:
             samec = _shift2(comp, dy, dx, -1) == comp
             cand = jnp.where(samec, _shift2(dist, dy, dx, _BIG), _BIG)
             nd = jnp.minimum(nd, jnp.minimum(cand, _BIG) + 1)
-        return nd
+        return nd, jnp.any(nd != dist), t + 1
 
-    dist = lax.fori_loop(0, min_size, dist_body, dist0)
+    dist, _, _ = lax.while_loop(
+        dist_cond, dist_body, (dist0, True, jnp.int32(0))
+    )
 
     # parent = first same-component _PRIO neighbor exactly one BFS step
     # closer (the component check is load-bearing: depths are only
@@ -171,14 +188,29 @@ def _enforce_kernel(
         )
         pcode = jnp.where(take, i, pcode)
 
-    def sum_body(_, v):
+    # Subtree sums SATURATE at min_size: the survivor test only asks
+    # v >= min_size, and clipping is decision-exact — a clipped child is
+    # itself >= min_size, so its parent's sum still clears the threshold,
+    # and nothing below min_size ever clips. Saturation makes large
+    # components' values stabilize, so the fixpoint early exit fires for
+    # them too (unsaturated sums would keep growing for tree-depth
+    # iterations).
+    def sum_cond(state):
+        _, changed, t = state
+        return jnp.logical_and(changed, t < min_size)
+
+    def sum_body(state):
+        v, _, t = state
         acc = jnp.ones((h, w), jnp.int32)
         for i, (dy, dx) in enumerate(_PRIO):
             child = jnp.where(pcode == i, v, 0)
             acc = acc + _shift2(child, -dy, -dx, 0)
-        return acc
+        acc = jnp.minimum(acc, min_size)
+        return acc, jnp.any(acc != v), t + 1
 
-    v = lax.fori_loop(0, min_size, sum_body, jnp.ones((h, w), jnp.int32))
+    v, _, _ = lax.while_loop(
+        sum_cond, sum_body, (jnp.ones((h, w), jnp.int32), True, jnp.int32(0))
+    )
 
     # ---- 3. survivors + raster renumbering (prefix sums, no scatter)
     survives = root & (v >= min_size)
