@@ -65,8 +65,15 @@ def affinity_matrix(
 ) -> jnp.ndarray:
     """(S, D) -> (S, S) Gaussian affinity; sigma=None -> median heuristic.
 
-    Empty superpixels (counts == 0) are disconnected (zero affinity row/col)
-    except a unit self-loop to keep the Laplacian well-posed.
+    Empty superpixels (counts == 0) get an all-zero affinity row/col — NO
+    self-loop. With the degree clamp in spectral_labels this puts each dead
+    node at L_sym eigenvalue exactly 1 (identity row), OUT of the bottom-k
+    eigenspace. A unit self-loop instead makes every dead node an isolated
+    zero-eigenvalue vertex; fragmented images (connectivity enforcement can
+    kill 150-340 of 384 superpixels on flat synthetic mosaics) then fill
+    the n-cut embedding with arbitrary dead-node indicators and the cut
+    collapses to one region (measured PRI 0.24 vs 0.90 healthy; the fix
+    recovers it — experiments/exp_subspace_accuracy.py).
     """
     sq = jnp.sum(f * f, axis=1)
     d2 = (
@@ -88,21 +95,26 @@ def affinity_matrix(
     if counts is not None:
         alive = (counts > 0).astype(w.dtype)
         w = w * alive[:, None] * alive[None, :]
-        w = w + jnp.diag(1.0 - alive)  # unit self-loop for dead nodes
     return w
 
 
 def smallest_eigvecs_subspace(
-    l_sym: jnp.ndarray, k: int, n_iter: int = 80, oversample: int = 4
+    l_sym: jnp.ndarray, k: int, n_iter: int = 80, oversample: int = 4,
+    power_per_qr: int = 8,
 ) -> jnp.ndarray:
     """k eigenvectors of the smallest eigenvalues via subspace (orthogonal)
     iteration — the matmul-only eigensolver (BASELINE north_star names the
     Lanczos/matmul route for larger S where dense eigh stops paying off).
 
-    Iterates Q <- qr((2I - L) Q): L_sym's spectrum lies in [0, 2], so 2I - L
-    flips it and power iterations converge to the SMALLEST eigenvalues of L.
-    Deterministic start (no PRNG): first k+q columns of a DCT-like cosine
-    basis. Returns (S, k).
+    Iterates Q <- qr((2I - L)^p Q): L_sym's spectrum lies in [0, 2], so
+    2I - L flips it and power iterations converge to the SMALLEST
+    eigenvalues of L. ``power_per_qr`` chains p matmuls per QR
+    re-orthogonalization: QR is the sequential (Householder) part of the
+    loop on TPU while the (S, S) @ (S, m) products are pure MXU, and with
+    ||B|| <= 2 and p = 8 the un-orthogonalized block stays f32-conditioned
+    (measured: eigh-vs-subspace label ARI identical to p = 1 on the
+    structured eval, exp_subspace_accuracy.py). Deterministic start (no
+    PRNG): first k+q columns of a DCT-like cosine basis. Returns (S, k).
     """
     s = l_sym.shape[0]
     m = min(s, k + oversample)
@@ -118,12 +130,13 @@ def smallest_eigvecs_subspace(
     b = 2.0 * jnp.eye(s, dtype=l_sym.dtype) - l_sym
 
     def body(_, q):
-        q, _ = jnp.linalg.qr(
-            jnp.dot(b, q, preferred_element_type=jnp.float32, precision=hi)
-        )
+        for _ in range(power_per_qr):
+            q = jnp.dot(b, q, preferred_element_type=jnp.float32,
+                        precision=hi)
+        q, _ = jnp.linalg.qr(q)
         return q
 
-    q = jax.lax.fori_loop(0, n_iter, body, q0)
+    q = jax.lax.fori_loop(0, max(1, n_iter // power_per_qr), body, q0)
     # Rayleigh-Ritz: diagonalize the small projected matrix for clean vectors
     t = jnp.dot(
         jnp.dot(q.T, l_sym, preferred_element_type=jnp.float32, precision=hi),
@@ -257,6 +270,9 @@ def graph_segment_batch(
             sp = enforce_connectivity_fused(sp, gh * gw)
         else:
             sp = enforce_connectivity_device(sp, gh * gw)
+        # superpixel moments stay on the XLA one-hot matmul: the Pallas
+        # variant (models/graph_pallas.py) measured SLOWER — see its
+        # STATUS note
         fn = lambda f, s: ncut_regions(
             f, s, gh * gw, g.n_regions, g.affinity_sigma, g.eig_method
         )

@@ -151,8 +151,13 @@ def ncut_golden(
     else:
         s2 = 2.0 * affinity_sigma**2
     wm = np.exp(-d2 / s2)
+    # dead superpixels: zero row/col, NO self-loop — the degree clamp below
+    # gives them L_sym row = identity (eigenvalue 1), keeping the bottom-k
+    # eigenspace purely on alive nodes (mirrors models/graph.py
+    # affinity_matrix; a self-loop made each dead node a zero-eigenvalue
+    # isolated vertex and collapsed the cut on fragmented images)
     alive = (cnts > 0).astype(np.float64)
-    wm = wm * alive[:, None] * alive[None, :] + np.diag(1.0 - alive)
+    wm = wm * alive[:, None] * alive[None, :]
 
     deg = wm.sum(1)
     dis = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
