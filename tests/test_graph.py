@@ -159,3 +159,30 @@ def test_table_lookup_matches_gather(rng):
     # force the kernel path (interpret mode off-TPU)
     out2 = np.asarray(_lookup_tpu(jnp.asarray(idx), jnp.asarray(table)))
     np.testing.assert_array_equal(out2, ref)
+
+
+def test_fused_moments_match_xla():
+    """graph_pallas.superpixel_moments_fused (interpret mode) == the XLA
+    one-hot-matmul superpixel_means: counts exact, means ~reduction-order."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        superpixel_means,
+    )
+    from gabor_color_image_segmentation_tpu.models.graph_pallas import (
+        superpixel_moments_fused,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n, d, s = 2, 5000, 13, 40
+    idx = rng.integers(0, s, (b, n)).astype(np.int32)
+    feats = rng.standard_normal((b, n, d)).astype(np.float32)
+    feats = jnp.asarray(feats).astype(jnp.bfloat16)
+    sums, cnts = superpixel_moments_fused(jnp.asarray(idx), feats, s)
+    for i in range(b):
+        m_ref, c_ref = superpixel_means(
+            feats[i].astype(jnp.float32), jnp.asarray(idx[i]), s
+        )
+        np.testing.assert_array_equal(np.asarray(cnts[i]), np.asarray(c_ref))
+        m = np.asarray(sums[i]) / np.maximum(np.asarray(cnts[i]), 1.0)[:, None]
+        np.testing.assert_allclose(m, np.asarray(m_ref), rtol=2e-5, atol=2e-5)
