@@ -57,6 +57,14 @@ _BIG = 2**30  # plain int: jnp constants created at module scope would be
 # models/slic.py::enforce_connectivity_device)
 _PRIO = ((-1, 0), (0, -1), (0, 1), (1, 0))
 
+# Jacobi steps chained per while_loop iteration in the BFS/adoption
+# fixpoint loops. Each loop iteration costs a scalar-core sync + an any()
+# convergence reduce; the updates are monotone and idempotent at the
+# fixpoint, so chaining over-steps by at most UNROLL-1 no-op applications
+# while dividing the sync count — outputs are bit-identical (pinned by
+# tests/test_slic.py). Module global so the sweep experiment can retune.
+_BFS_UNROLL = 8
+
 
 def _shift2(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     """out[y, x] = in[y + dy, x + dx]; ``fill`` outside (static dy/dx).
@@ -87,12 +95,36 @@ def _shift1(x: jnp.ndarray, k: int, axis: int, fill) -> jnp.ndarray:
     return _shift2(x, -k if axis == 0 else 0, -k if axis == 1 else 0, fill)
 
 
+def _ok_chains(keys: jnp.ndarray) -> dict:
+    """Per (axis, direction): the run-membership mask sequence of the
+    prefix-doubling sweep. ok_0 = same-key-neighbor; ok_{j+1} = ok_j &
+    shift(ok_j, d*2^j). These depend only on ``keys`` — both fixpoint
+    loops below (CC and seed propagation) sweep with FIXED keys, so the
+    whole chain is loop-invariant and computed once (it was ~2/5 of every
+    sweep step). int32 masks for Mosaic shifts."""
+    chains = {}
+    for axis in (1, 0):
+        n = keys.shape[axis]
+        for direction in (1, -1):
+            same = (
+                _shift1(keys, direction, axis, -1) == keys
+            ).astype(jnp.int32)
+            chain = []
+            ok, k = same, 1
+            while k < n:
+                chain.append(ok)
+                ok = ok * _shift1(ok, direction * k, axis, 0)
+                k *= 2
+            chains[(axis, direction)] = chain
+    return chains
+
+
 def _run_extreme(
-    vals: jnp.ndarray, keys: jnp.ndarray, axis: int, mode: str
+    vals: jnp.ndarray, chains: dict, axis: int, mode: str
 ) -> jnp.ndarray:
-    """Min/max of ``vals`` over maximal equal-``keys`` runs along ``axis``
+    """Min/max of ``vals`` over maximal equal-keys runs along ``axis``
     (prefix doubling; the models/slic.py::_run_extreme algorithm verbatim,
-    with run-membership masks carried as int32 for Mosaic shifts)."""
+    with the key-derived masks supplied precomputed by ``_ok_chains``)."""
     n = vals.shape[axis]
     if mode == "min":
         fill, combine = _BIG, jnp.minimum
@@ -100,21 +132,20 @@ def _run_extreme(
         fill, combine = -_BIG, jnp.maximum
     out = vals
     for direction in (1, -1):
-        same = (_shift1(keys, direction, axis, -1) == keys).astype(jnp.int32)
-        v, ok = vals, same
+        v = vals
         k = 1
-        while k < n:
+        for ok in chains[(axis, direction)]:
             sv = _shift1(v, direction * k, axis, fill)
             v = jnp.where(ok != 0, combine(v, sv), v)
-            ok = ok * _shift1(ok, direction * k, axis, 0)
             k *= 2
+        assert k >= n
         out = combine(out, v)
     return out
 
 
-def _pass_extreme(vals, keys, mode):
-    v = _run_extreme(vals, keys, axis=1, mode=mode)
-    return _run_extreme(v, keys, axis=0, mode=mode)
+def _pass_extreme(vals, chains, mode):
+    v = _run_extreme(vals, chains, axis=1, mode=mode)
+    return _run_extreme(v, chains, axis=0, mode=mode)
 
 
 def _prefix_sum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -136,13 +167,17 @@ def _enforce_kernel(
     iota = row * w + col
 
     # ---- 1. connected components (run-min fixpoint; ids = min flat index)
+    lab_chains = _ok_chains(labels)
+
     def cc_body(state):
         comp, _ = state
-        new = _pass_extreme(comp, labels, "min")
+        new = _pass_extreme(comp, lab_chains, "min")
         return new, jnp.any(new != comp)
 
     comp, _ = lax.while_loop(
-        lambda s: s[1], cc_body, (_pass_extreme(iota, labels, "min"), True)
+        lambda s: s[1],
+        cc_body,
+        (_pass_extreme(iota, lab_chains, "min"), True),
     )
 
     # ---- 2. capped BFS subtree count (see module docstring). Both BFS
@@ -157,6 +192,11 @@ def _enforce_kernel(
     root = comp == iota
     dist0 = jnp.where(root, 0, _BIG)
 
+    # comp is fixed from here on, so the four same-component neighbor masks
+    # are loop-invariant: hoist them out of both BFS fixpoint bodies (they
+    # were a shift + compare per direction per iteration)
+    samec = tuple(_shift2(comp, dy, dx, -1) == comp for dy, dx in _PRIO)
+
     def dist_cond(state):
         _, changed, t = state
         return jnp.logical_and(changed, t < min_size)
@@ -164,11 +204,15 @@ def _enforce_kernel(
     def dist_body(state):
         dist, _, t = state
         nd = dist
-        for dy, dx in _PRIO:
-            samec = _shift2(comp, dy, dx, -1) == comp
-            cand = jnp.where(samec, _shift2(dist, dy, dx, _BIG), _BIG)
-            nd = jnp.minimum(nd, jnp.minimum(cand, _BIG) + 1)
-        return nd, jnp.any(nd != dist), t + 1
+        for _ in range(_BFS_UNROLL):
+            prev = nd
+            for i, (dy, dx) in enumerate(_PRIO):
+                cand = jnp.where(
+                    samec[i], _shift2(prev, dy, dx, _BIG), _BIG
+                )
+                # cand <= _BIG always, so min(cand, _BIG) was a no-op
+                nd = jnp.minimum(nd, cand + 1)
+        return nd, jnp.any(nd != dist), t + _BFS_UNROLL
 
     dist, _, _ = lax.while_loop(
         dist_cond, dist_body, (dist0, True, jnp.int32(0))
@@ -181,9 +225,8 @@ def _enforce_kernel(
     pcode = jnp.full((h, w), 4, jnp.int32)
     for i, (dy, dx) in enumerate(_PRIO):
         nb = _shift2(dist, dy, dx, _BIG)
-        samec = _shift2(comp, dy, dx, -1) == comp
         take = (
-            (pcode == 4) & (~root) & samec & (dist < _BIG)
+            (pcode == 4) & (~root) & samec[i] & (dist < _BIG)
             & (nb == dist - 1)
         )
         pcode = jnp.where(take, i, pcode)
@@ -195,18 +238,25 @@ def _enforce_kernel(
     # components' values stabilize, so the fixpoint early exit fires for
     # them too (unsaturated sums would keep growing for tree-depth
     # iterations).
+    # child masks are pcode-only — also loop-invariant
+    childmask = tuple(pcode == i for i in range(4))
+
     def sum_cond(state):
         _, changed, t = state
         return jnp.logical_and(changed, t < min_size)
 
     def sum_body(state):
         v, _, t = state
-        acc = jnp.ones((h, w), jnp.int32)
-        for i, (dy, dx) in enumerate(_PRIO):
-            child = jnp.where(pcode == i, v, 0)
-            acc = acc + _shift2(child, -dy, -dx, 0)
-        acc = jnp.minimum(acc, min_size)
-        return acc, jnp.any(acc != v), t + 1
+        acc = v
+        for _ in range(_BFS_UNROLL):
+            prev = acc
+            acc = jnp.ones((h, w), jnp.int32)
+            for i, (dy, dx) in enumerate(_PRIO):
+                acc = acc + _shift2(
+                    jnp.where(childmask[i], prev, 0), -dy, -dx, 0
+                )
+            acc = jnp.minimum(acc, min_size)
+        return acc, jnp.any(acc != v), t + _BFS_UNROLL
 
     v, _, _ = lax.while_loop(
         sum_cond, sum_body, (jnp.ones((h, w), jnp.int32), True, jnp.int32(0))
@@ -226,13 +276,17 @@ def _enforce_kernel(
     seed = jnp.where(survives, newid, -1)
 
     # ---- 4. propagate each root's new id through its component
+    comp_chains = _ok_chains(comp)
+
     def prop_body(state):
         val, _ = state
-        new = _pass_extreme(val, comp, "max")
+        new = _pass_extreme(val, comp_chains, "max")
         return new, jnp.any(new != val)
 
     lab, _ = lax.while_loop(
-        lambda s: s[1], prop_body, (_pass_extreme(seed, comp, "max"), True)
+        lambda s: s[1],
+        prop_body,
+        (_pass_extreme(seed, comp_chains, "max"), True),
     )
 
     # ---- 5. adoption of absorbed fragments (Jacobi, kept-neighbor
@@ -248,20 +302,19 @@ def _enforce_kernel(
 
     def ad_body(state):
         lab, kept, t = state
-        cand = lab
-        have = jnp.zeros((h, w), jnp.int32)
-        # reverse priority so the first-listed neighbor wins the where
-        for dy, dx in ((1, 0), (0, 1), (0, -1), (-1, 0)):
-            nl = _shift2(lab, dy, dx, 0)
-            nk = _shift2(kept, dy, dx, 0)
-            cand = jnp.where(nk != 0, nl, cand)
-            have = jnp.maximum(have, nk)
-        adopt = (kept == 0) & (have != 0)
-        return (
-            jnp.where(adopt, cand, lab),
-            jnp.maximum(kept, adopt.astype(jnp.int32)),
-            t + 1,
-        )
+        for _ in range(_BFS_UNROLL):
+            cand = lab
+            have = jnp.zeros((h, w), jnp.int32)
+            # reverse priority so the first-listed neighbor wins the where
+            for dy, dx in ((1, 0), (0, 1), (0, -1), (-1, 0)):
+                nl = _shift2(lab, dy, dx, 0)
+                nk = _shift2(kept, dy, dx, 0)
+                cand = jnp.where(nk != 0, nl, cand)
+                have = jnp.maximum(have, nk)
+            adopt = (kept == 0) & (have != 0)
+            lab = jnp.where(adopt, cand, lab)
+            kept = jnp.maximum(kept, adopt.astype(jnp.int32))
+        return lab, kept, t + _BFS_UNROLL
 
     lab, _, _ = lax.while_loop(ad_cond, ad_body, (lab, kept0, jnp.int32(0)))
     out_ref[0] = jnp.maximum(lab, 0)
