@@ -121,7 +121,7 @@ def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
 def run_benchmark(
     preset_name: str = "config1",
     batch_size: int | None = None,
-    iters: int = 10,
+    iters: int = 50,
     dtype: str = "bfloat16",
     subsample: int = 1,
     measure_cpu: bool = False,

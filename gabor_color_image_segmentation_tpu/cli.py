@@ -191,7 +191,7 @@ def main(argv=None):
 
     p_bench = sub.add_parser("bench", help="end-to-end throughput (one JSON line)")
     _add_preset_args(p_bench)  # provides --preset/--batch/--dtype overrides
-    p_bench.add_argument("--iters", type=int, default=10)
+    p_bench.add_argument("--iters", type=int, default=50)
     p_bench.add_argument("--subsample", type=int, default=1)
     p_bench.add_argument("--measure-cpu", action="store_true")
     p_bench.set_defaults(fn=cmd_bench)
