@@ -18,14 +18,15 @@ import sys
 
 import pytest
 
+# ~80% of the 2026-08-18 measurements at the iters=50 bench methodology
+# (122.8 / 66.7 / 58.9 / 51.4 / 110.1): tight enough to catch a real
+# regression, loose enough for tunnel jitter.
 _FLOORS = {
-    "config0": 55.0,
-    "config1": 40.0,
-    "config2": 28.0,
-    # 2026-08-18: 51.4 measured with the device-side connectivity pass in
-    # the jitted path (Pallas kernel + invariant hoists + chained Jacobi)
+    "config0": 95.0,
+    "config1": 53.0,
+    "config2": 46.0,
     "config3": 42.0,
-    "config4": 55.0,
+    "config4": 85.0,
 }
 _AXON = "/root/.axon_site"
 

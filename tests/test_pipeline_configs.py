@@ -208,3 +208,24 @@ def test_transposed_gmm_pooled_fit_matches_regular():
     for i in range(2):
         agree = (align_labels(fast[i], ref[i]) == ref[i]).mean()
         assert agree > 0.99, agree
+
+
+@pytest.mark.parametrize(
+    "preset_name,hw",
+    [("config0", (97, 131)), ("config3", (60, 200))],
+)
+def test_off_nominal_image_sizes(preset_name, hw):
+    """Odd and wide-rectangular shapes run end-to-end through both pipeline
+    families (Pallas kernels pad / fall back via their eligibility gates;
+    nothing in the contract requires 481x321)."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import segment_image
+
+    h, w = hw
+    rgb, _ = synthetic_mosaic(h=h, w=w, n_regions=4, seed=3)
+    labels, _ = segment_image(rgb, preset(preset_name))
+    lab = np.asarray(labels)
+    assert lab.shape == (h, w) and lab.dtype == np.int32
+    k = preset(preset_name).graph.n_regions if preset(
+        preset_name
+    ).graph.enabled else preset(preset_name).cluster.k
+    assert 0 <= lab.min() and lab.max() < k
