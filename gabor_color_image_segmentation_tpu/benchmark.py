@@ -137,6 +137,11 @@ def run_benchmark(
     import sys
 
     from gabor_color_image_segmentation_tpu.config import preset
+    from gabor_color_image_segmentation_tpu.utils.jit_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # persist the pipeline executable across runs
 
     stock = cfg is None
     if cfg is None:

@@ -163,6 +163,11 @@ def cmd_info(args):
 
 
 def main(argv=None):
+    from gabor_color_image_segmentation_tpu.utils.jit_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # 104.6 -> 6.2 s cold start (jit_cache.py)
     ap = argparse.ArgumentParser(prog="gaborseg")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -16,6 +16,13 @@ import jax  # noqa: E402
 # var; the config knob is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# Persist slow CPU compiles across suite runs (GCIS_COMPILE_CACHE=0 opts out)
+from gabor_color_image_segmentation_tpu.utils.jit_cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
