@@ -129,13 +129,23 @@ def main():
             return labels
         return np.asarray(jax.jit(run)(ec_g, pe_g, xc4, affine))
 
+    from gabor_color_image_segmentation_tpu.metrics.boundary import (
+        fboundary_np,
+    )
+
     ref = labels_of(0, cc.refine_iters)
     pri_ref = np.mean([pri_np(ref[i], [gts[i]]) for i in range(b)])
+    f_ref = np.mean([fboundary_np(ref[i], [gts[i]])[2] for i in range(b)])
 
+    # full=0 variants are assign-only at full resolution: every center
+    # update happens on the 2x2 twin, the full-res buffer is streamed
+    # exactly once (labels pass) instead of twice (update + labels)
     grid = [(0, 5), (0, 3), (0, 2), (0, 1),
-            (2, 1), (2, 2), (3, 1), (3, 2), (5, 1), (5, 2), (8, 1)]
+            (2, 1), (2, 2), (3, 1), (3, 2), (5, 1), (5, 2), (8, 1),
+            (3, 0), (4, 0), (6, 0), (8, 0), (12, 0)]
     print(f"{'variant':>14s} {'ms/op':>8s} {'agree':>8s} {'PRI':>7s}"
-          f"   (ref A PRI {pri_ref:.4f})", flush=True)
+          f" {'F':>7s}   (ref A PRI {pri_ref:.4f} F {f_ref:.4f})",
+          flush=True)
     for m_it, f_it in grid:
         fn = variant(m_it, f_it)
         fence(fn(ec_g, pe_g, xc4, affine))
@@ -148,8 +158,10 @@ def main():
         lbl = labels_of(m_it, f_it)
         agree = float(np.mean(lbl == ref))
         pri = np.mean([pri_np(lbl[i], [gts[i]]) for i in range(b)])
+        fb = np.mean([fboundary_np(lbl[i], [gts[i]])[2] for i in range(b)])
         tag = f"mid{m_it}+full{f_it}"
-        print(f"{tag:>14s} {ms:8.2f} {agree:8.4f} {pri:7.4f}", flush=True)
+        print(f"{tag:>14s} {ms:8.2f} {agree:8.4f} {pri:7.4f} {fb:7.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":

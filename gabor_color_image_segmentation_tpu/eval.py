@@ -24,6 +24,10 @@ log = logging.getLogger("gaborseg.eval")
 from gabor_color_image_segmentation_tpu.config import PipelineConfig
 from gabor_color_image_segmentation_tpu.metrics.boundary import fboundary_np
 from gabor_color_image_segmentation_tpu.metrics.pri import pri_np
+from gabor_color_image_segmentation_tpu.metrics.region import (
+    mean_covering_np,
+    mean_voi_np,
+)
 from gabor_color_image_segmentation_tpu.models.pipeline import segment_images
 from gabor_color_image_segmentation_tpu.ops.bank import make_bank
 
@@ -92,6 +96,10 @@ def evaluate(
                         if gts[i]:
                             p, r, f = fboundary_np(labels[i], gts[i])
                             row.update(precision=p, recall=r, f_boundary=f)
+                            row["voi"] = mean_voi_np(labels[i], gts[i])
+                            row["covering"] = mean_covering_np(
+                                labels[i], gts[i]
+                            )
                         row["n_regions"] = int(len(np.unique(labels[i])))
                     except Exception as e:  # per-image isolation (§5.3)
                         row["error"] = repr(e)
@@ -113,6 +121,16 @@ def evaluate(
         "mean_f_boundary": (
             float(np.mean([r["f_boundary"] for r in ok]))
             if ok and "f_boundary" in ok[0]
+            else None
+        ),
+        "mean_voi": (
+            float(np.mean([r["voi"] for r in ok]))
+            if ok and "voi" in ok[0]
+            else None
+        ),
+        "mean_covering": (
+            float(np.mean([r["covering"] for r in ok]))
+            if ok and "covering" in ok[0]
             else None
         ),
         "wall_s": wall,
@@ -160,12 +178,13 @@ def evaluate_sweep(
         with open(path) as f:
             per_k[k] = [json.loads(line) for line in f]
 
-    def agg(metric: str) -> dict:
+    def agg(metric: str, best=max) -> dict:
+        """best=max for higher-is-better metrics, best=min for VoI."""
         means = {
             k: float(np.mean([r[metric] for r in rows if r.get(metric) is not None]))
             for k, rows in per_k.items()
         }
-        ods_k = max(means, key=means.get)
+        ods_k = best(means, key=means.get)
         # OIS: best k per image
         n = len(per_k[ks[0]])
         ois_vals = []
@@ -176,7 +195,7 @@ def evaluate_sweep(
                 if per_k[k][i].get(metric) is not None
             ]
             if vals:
-                ois_vals.append(max(vals))
+                ois_vals.append(best(vals))
         return {
             "ods_k": int(ods_k),
             "ods": means[ods_k],
@@ -190,6 +209,8 @@ def evaluate_sweep(
         "n_images": len(items),
         "pri": agg("pri"),
         "f_boundary": agg("f_boundary"),
+        "voi": agg("voi", best=min),
+        "covering": agg("covering"),
     }
 
 
