@@ -25,6 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from gabor_color_image_segmentation_tpu.utils.jit_cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 from gabor_color_image_segmentation_tpu.config import preset
 from gabor_color_image_segmentation_tpu.data import synthetic_mosaic
 from gabor_color_image_segmentation_tpu.models.kmeans_chw import (
