@@ -52,6 +52,15 @@ from gabor_color_image_segmentation_tpu.ops.modulated import (
 _CHUNK_MODE = "fixed"  # "fixed": step = _CHUNK_WINDOW rows/cols per chunk
 _CHUNK_WINDOW = 128
 
+# Measurement-only stage ablation (experiments/exp_stage_ablation.py reads
+# the per-stage cost of the kernel by deleting stages; NEVER set in
+# production — results are numerically wrong by design). Recognized items:
+# "im" (skip the imaginary blur pair), "blur" (skip the envelope dots),
+# "smooth" (skip energy smoothing), "modulate" (skip the phase build),
+# "demod" (skip the output phase + DC correction; also lets XLA DCE the
+# box filter), "sqrt" (skip the magnitude sqrt).
+_ABLATE: frozenset = frozenset()
+
 
 def _toeplitz(taps: np.ndarray, n_out: int, dtype) -> np.ndarray:
     """(n_out, n_out + len(taps) - 1) banded correlation matrix T with
@@ -180,6 +189,7 @@ def _group_kernel(
     yv = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0).astype(jnp.float32)
     xv = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(jnp.float32)
 
+    ablate = _ABLATE
     for jj in range(n_c):
         wx = par_ref[chunk, jj]
         wy = par_ref[chunk, n_c + jj]
@@ -192,23 +202,45 @@ def _group_kernel(
             img = x_ref[0, cc]
 
             def blur(m):
+                if "blur" in ablate:  # measurement-only: skip envelope dots
+                    return m[:hmid, :wmid].astype(jnp.float32)
                 v = dot_banded_left(ev_ref, m, 0, 2 * p)
                 return dot_banded_right(v.astype(mm_dtype), eh_ref, 0, 2 * p)
 
             # cos(wy y + wx x) = cy cx - sy sx ; sin = sy cx + cy sx
             # re/im processed sequentially so only one (Hp, Wp) modulated
             # buffer is live at a time (VMEM headroom)
-            m_re = (img * (cy * cx) - img * (sy * sx)).astype(mm_dtype)
+            if "modulate" in ablate:  # measurement-only: raw image in
+                m_re = img.astype(mm_dtype)
+            else:
+                m_re = (img * (cy * cx) - img * (sy * sx)).astype(mm_dtype)
             g_re = blur(m_re)  # (Hmid, Wmid) f32
-            m_im = (-img * (sy * cx) - img * (cy * sx)).astype(mm_dtype)
-            g_im = blur(m_im)
-            cos_p = cyp * cxp - syp * sxp
-            sin_p = syp * cxp + cyp * sxp
-            re = cos_p * g_re - sin_p * g_im - mu * box_ref[0, cc]
-            im = sin_p * g_re + cos_p * g_im
-            mag = jnp.sqrt(re * re + im * im).astype(mm_dtype)
-            sm = dot_banded_left(sv_ref, mag, -sradius, sradius)
-            sm = dot_banded_right(sm.astype(mm_dtype), sh_ref, -sradius, sradius)
+            if "im" in ablate:  # measurement-only: drop the imaginary pair
+                g_im = jnp.zeros_like(g_re)
+            else:
+                if "modulate" in ablate:
+                    m_im = img.astype(mm_dtype)
+                else:
+                    m_im = (-img * (sy * cx) - img * (cy * sx)).astype(mm_dtype)
+                g_im = blur(m_im)
+            if "demod" in ablate:  # measurement-only: raw blur out
+                re, im = g_re, g_im
+            else:
+                cos_p = cyp * cxp - syp * sxp
+                sin_p = syp * cxp + cyp * sxp
+                re = cos_p * g_re - sin_p * g_im - mu * box_ref[0, cc]
+                im = sin_p * g_re + cos_p * g_im
+            if "sqrt" in ablate:  # measurement-only: no magnitude
+                mag = (re + im).astype(mm_dtype)
+            else:
+                mag = jnp.sqrt(re * re + im * im).astype(mm_dtype)
+            if "smooth" in ablate:  # measurement-only: unsmoothed energies
+                sm = mag.astype(jnp.float32)
+            else:
+                sm = dot_banded_left(sv_ref, mag, -sradius, sradius)
+                sm = dot_banded_right(
+                    sm.astype(mm_dtype), sh_ref, -sradius, sradius
+                )
             out_ref[0, 0, jj * c + cc] = sm.astype(out_ref.dtype)
             if pooled:
                 # 2x2-pooled twin for the multigrid warmup, while mag is
@@ -321,7 +353,10 @@ def _fused_group(
     xpad = jnp.pad(
         img_cf, ((0, 0), (0, 0), (halo, halo), (halo, halo)), mode="reflect"
     )
-    box = _box_filter(xpad, group.ksize, r)  # (B, C, Hmid, Wmid)
+    if "box" in _ABLATE:  # measurement-only: cost of the XLA box filter
+        box = jnp.zeros((b, c, hmid, wmid), jnp.float32)
+    else:
+        box = _box_filter(xpad, group.ksize, r)  # (B, C, Hmid, Wmid)
 
     precision = (
         jax.lax.Precision.HIGHEST
