@@ -97,13 +97,15 @@ def _toeplitz_reflect(taps: np.ndarray, n: int, dtype) -> np.ndarray:
 
 def _group_kernel(
     x_ref,  # (1, C, Hp, Wp) f32 padded image (Hp = H + 2p)
-    box_ref,  # (1, C, H, W) f32 box sums (DC correction)
+    bv_ref,  # (H, Hp) ones-band Toeplitz (vertical box correlation)
+    bh_ref,  # (Wp, W) ones-band Toeplitz (horizontal box, transposed)
     par_ref,  # (n_chunks, 3*n_c) f32 SMEM (full): [wx..., wy..., mu...]
     ev_ref,  # (H, Hp) envelope Toeplitz (vertical)
     eh_ref,  # (Wp, W) envelope Toeplitz (horizontal, transposed)
     sv_ref,  # (H, H) smoothing Toeplitz, REFLECT_101 folded (vertical)
     sh_ref,  # (W, W) smoothing Toeplitz, REFLECT_101 folded (horiz, transposed)
-    *refs,  # [svp_ref (H2, H), shp_ref (W, W2)] if pooled, then out_ref(s)
+    *refs,  # [svp_ref (H2, H), shp_ref (W, W2)] if pooled, then out_ref(s),
+    # then box scratch (C, H, W) f32 (filled on chunk 0, reused after)
     c: int,
     n_c: int,
     p: int,
@@ -113,9 +115,9 @@ def _group_kernel(
     pooled: bool,
 ):
     if pooled:
-        svp_ref, shp_ref, out_ref, outp_ref = refs
+        svp_ref, shp_ref, out_ref, outp_ref, box_ref = refs
     else:
-        (out_ref,) = refs
+        out_ref, box_ref = refs
         svp_ref = shp_ref = outp_ref = None
     hp, wp = x_ref.shape[2], x_ref.shape[3]
     hmid, wmid = ev_ref.shape[0], eh_ref.shape[1]
@@ -190,6 +192,22 @@ def _group_kernel(
     xv = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1).astype(jnp.float32)
 
     ablate = _ABLATE
+    # DC-correction box sums as banded ones-Toeplitz MXU dots, computed on
+    # the FIRST kernel-chunk step of each image and cached in VMEM scratch
+    # for the remaining chunks (scratch persists across grid steps). This
+    # replaced an XLA cumsum-difference operand that alone cost 5.9 ms/op
+    # at config1 batch-16 — a quarter of the whole feature stage
+    # (exp_stage_ablation.py, 2026-08-19).
+    if "demod" not in ablate and "box" not in ablate:
+        @pl.when(chunk == 0)
+        def _():
+            for cc in range(c):
+                bx = dot_banded_left(
+                    bv_ref, x_ref[0, cc].astype(mm_dtype), 0, 2 * p
+                )
+                box_ref[cc] = dot_banded_right(
+                    bx.astype(mm_dtype), bh_ref, 0, 2 * p
+                )
     for jj in range(n_c):
         wx = par_ref[chunk, jj]
         wy = par_ref[chunk, n_c + jj]
@@ -228,7 +246,8 @@ def _group_kernel(
             else:
                 cos_p = cyp * cxp - syp * sxp
                 sin_p = syp * cxp + cyp * sxp
-                re = cos_p * g_re - sin_p * g_im - mu * box_ref[0, cc]
+                dc = 0.0 if "box" in ablate else mu * box_ref[cc]
+                re = cos_p * g_re - sin_p * g_im - dc
                 im = sin_p * g_re + cos_p * g_im
             if "sqrt" in ablate:  # measurement-only: no magnitude
                 mag = (re + im).astype(mm_dtype)
@@ -256,21 +275,6 @@ def _group_kernel(
                     scale=2,
                 )
                 outp_ref[0, 0, jj * c + cc] = pm.astype(outp_ref.dtype)
-
-
-def _box_filter(img_cf: jnp.ndarray, ksize: int, r: int) -> jnp.ndarray:
-    """(B, C, Hp, Wp) padded channel-first image -> (B, C, Hmid, Wmid) box
-    sums over the ksize x ksize window (separable ones correlation)."""
-    p = ksize // 2
-    # vertical then horizontal VALID ones-correlation via cumsum differences
-    cs = jnp.cumsum(img_cf, axis=2)
-    zero = jnp.zeros_like(cs[:, :, :1])
-    cs = jnp.concatenate([zero, cs], axis=2)
-    v = cs[:, :, ksize:] - cs[:, :, :-ksize]  # (B, C, Hp-k+1, Wp)
-    cs = jnp.cumsum(v, axis=3)
-    zero = jnp.zeros_like(cs[:, :, :, :1])
-    cs = jnp.concatenate([zero, cs], axis=3)
-    return cs[:, :, :, ksize:] - cs[:, :, :, :-ksize]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -311,6 +315,9 @@ def _fused_group(
     env = _envelope_taps(group.sigma, p)
     ev = _mat(_toeplitz(env, hmid, np.float32))
     eh = _mat(_toeplitz(env, wmid, np.float32).T)
+    ones_taps = np.ones(group.ksize, np.float32)
+    bv = _mat(_toeplitz(ones_taps, hmid, np.float32))
+    bh = _mat(_toeplitz(ones_taps, wmid, np.float32).T)
     sm = np.asarray(group.smooth_taps)
     sv_np = _toeplitz_reflect(sm, h, np.float32)
     sh_np = _toeplitz_reflect(sm, w, np.float32).T
@@ -353,10 +360,6 @@ def _fused_group(
     xpad = jnp.pad(
         img_cf, ((0, 0), (0, 0), (halo, halo), (halo, halo)), mode="reflect"
     )
-    if "box" in _ABLATE:  # measurement-only: cost of the XLA box filter
-        box = jnp.zeros((b, c, hmid, wmid), jnp.float32)
-    else:
-        box = _box_filter(xpad, group.ksize, r)  # (B, C, Hmid, Wmid)
 
     precision = (
         jax.lax.Precision.HIGHEST
@@ -373,10 +376,8 @@ def _fused_group(
             (1, c, hp, wp), lambda i, j: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, c, hmid, wmid), lambda i, j: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((hmid, hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wp, wmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (n_chunks, 3 * n_c), lambda i, j: (0, 0), memory_space=pltpu.SMEM
         ),
@@ -385,7 +386,7 @@ def _fused_group(
         pl.BlockSpec((h, hmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((wmid, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [xpad, box, par_in, ev, eh, sv, sh]
+    operands = [xpad, bv, bh, par_in, ev, eh, sv, sh]
     out_specs = pl.BlockSpec(
         (1, 1, n_c * c, h, w), lambda i, j: (i, j, 0, 0, 0),
         memory_space=pltpu.VMEM,
@@ -415,6 +416,11 @@ def _fused_group(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[
+            # per-image box sums, filled on chunk 0 and reused (persists
+            # across grid steps)
+            pltpu.VMEM((c, hmid, wmid), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=int(
                 2 * b * n * c
