@@ -23,6 +23,11 @@ def agreement(ours, gold):
 def main():
     import jax
 
+    from gabor_color_image_segmentation_tpu.utils.jit_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     print("backend:", jax.default_backend(), flush=True)
     rgb, gt = synthetic_mosaic(h=321, w=481, n_regions=5, seed=11)
 
@@ -59,17 +64,29 @@ def main():
               flush=True)
 
     from golden.features import rgb_to_lab_np
-    from golden.graph import slic_golden
+    from golden.graph import enforce_connectivity_golden, slic_golden
     from gabor_color_image_segmentation_tpu.models.slic import grid_shape
 
     g = cfg3.graph
     lab_g = rgb_to_lab_np(rgb)
     sp_g = slic_golden(lab_g, g.n_superpixels, g.slic_compactness, g.slic_iters)
     gh, gw, _ = grid_shape(h, w, g.n_superpixels)
+    # mirror the production graph path (models/graph.py:graph_segment_batch):
+    # cv2-semantics connectivity enforcement runs between SLIC and n-cut
+    sp_g = enforce_connectivity_golden(sp_g, n_sp=gh * gw, s_max=gh * gw)
     gold3 = ncut_golden(feats_g, sp_g, g.n_regions, g.affinity_sigma, gh * gw)
     labels3, _ = segment_image(rgb, cfg3)
     print(f"config3 fp32 vs golden agreement: {agreement(labels3, gold3):.4f}",
           flush=True)
+    # isolate the eigensolver: golden uses dense eigh; the production TPU
+    # path defaults to the matmul-only subspace iteration (eig_method=auto).
+    # Forcing eigh on-device attributes any residual gap to eig basins.
+    import dataclasses as _dc
+
+    cfg3e = cfg3.replace(graph=_dc.replace(cfg3.graph, eig_method="eigh"))
+    labels3e, _ = segment_image(rgb, cfg3e)
+    print(f"config3 fp32 (eigh) vs golden agreement: "
+          f"{agreement(labels3e, gold3):.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -211,14 +211,15 @@ class GraphConfig:
     cut: str = "ncut"  # "ncut" | "mincut"
     n_regions: int = 5  # final region count for ncut
     affinity_sigma: Optional[float] = None  # None => median-heuristic
-    # "auto" = matmul-only subspace iteration on TPU (~17x faster at S=384,
-    # label ARI >= 0.975 vs eigh on structured inputs), exact eigh elsewhere;
-    # "eigh" forces the parity-grade dense solve on all backends
+    # "auto" = matmul-only subspace iteration on TPU in bf16 production mode
+    # (~17x faster at S=384, label ARI >= 0.975 vs eigh on structured
+    # inputs), exact eigh in fp32 parity mode and off-TPU; "eigh" forces the
+    # parity-grade dense solve on all backends
     eig_method: str = "auto"  # "auto" | "eigh" | "subspace"
-    # "auto" = fused banded Pallas kernel on TPU (bf16x3 scores, ~0.995
-    # per-pixel agreement vs exact f32; 4.7x faster), masked-dense XLA
-    # elsewhere; "xla" forces the exact-f32 path everywhere (parity-grade,
-    # pair with eig_method="eigh"); "fused" forces the kernel
+    # "auto" = fused banded Pallas kernel on TPU in bf16 production mode
+    # (bf16x3 scores, ~0.995 per-pixel agreement vs exact f32; 4.7x faster),
+    # masked-dense exact-f32 XLA in fp32 parity mode and off-TPU; "xla"
+    # forces the exact-f32 path everywhere; "fused" forces the kernel
     slic_impl: str = "auto"  # "auto" | "fused" | "xla"
     adjacency_only: bool = False  # restrict affinity to adjacent superpixels
     mincut_k: float = 300.0  # Felzenszwalb-style merge threshold

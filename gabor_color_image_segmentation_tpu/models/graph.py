@@ -254,7 +254,21 @@ def graph_segment_batch(
         )
 
         b, h, w, _ = features.shape
-        sp = slic_batch(lab, g.n_superpixels, g.slic_compactness, g.slic_iters, g.slic_impl)
+        # fp32 is parity mode (CLAUDE.md contract: bf16 = production, fp32 =
+        # parity-grade): "auto" resolves to the exact-f32 XLA SLIC and the
+        # dense eigh there, and to the fused bf16x3 SLIC kernel + matmul-only
+        # subspace eigensolver in bf16 production mode. The fused SLIC's
+        # bf16x3 scores agree ~0.995 per pixel with exact f32 — fine for the
+        # production path, but it capped fp32 end-to-end golden agreement at
+        # 0.9902 (measured 2026-08-19, exp_round_validation.py).
+        slic_impl = g.slic_impl
+        eig_method = g.eig_method
+        if cfg.dtype == "float32":
+            if slic_impl == "auto":
+                slic_impl = "xla"
+            if eig_method == "auto":
+                eig_method = "eigh"
+        sp = slic_batch(lab, g.n_superpixels, g.slic_compactness, g.slic_iters, slic_impl)
         gh, gw, _ = grid_shape(h, w, g.n_superpixels)
         # cv2's SLIC contract includes enforceLabelConnectivity
         # (slic.hpp:127-136); the device pass keeps every superpixel feeding
@@ -274,7 +288,7 @@ def graph_segment_batch(
         # variant (models/graph_pallas.py) measured SLOWER — see its
         # STATUS note
         fn = lambda f, s: ncut_regions(
-            f, s, gh * gw, g.n_regions, g.affinity_sigma, g.eig_method
+            f, s, gh * gw, g.n_regions, g.affinity_sigma, eig_method
         )
         regions = jax.vmap(fn)(features, sp)  # (B, S)
         # pixel broadcast via the Pallas table-lookup kernel: XLA's dynamic
