@@ -34,6 +34,29 @@ from gabor_color_image_segmentation_tpu.models.kmeans import kmeans
 from gabor_color_image_segmentation_tpu.models.slic import slic
 
 
+def resolve_graph_impls(g, dtype: str) -> Tuple[str, str]:
+    """(GraphConfig, pipeline dtype) -> concrete (slic_impl, eig_method).
+
+    fp32 is parity mode (CLAUDE.md contract: bf16 = production, fp32 =
+    parity-grade): "auto" resolves to the exact-f32 XLA SLIC and the dense
+    eigh there, and to the fused bf16x3 SLIC kernel + matmul-only subspace
+    eigensolver in bf16 production mode (each of those further falls back
+    to the exact path off-TPU in slic_batch / spectral_labels). The fused
+    SLIC's bf16x3 scores agree ~0.995 per pixel with exact f32 — fine for
+    production, but leaving it on in fp32 mode capped end-to-end golden
+    agreement at 0.9902 (measured 2026-08-19, exp_round_validation.py).
+    Explicit (non-"auto") settings always win.
+    """
+    slic_impl = g.slic_impl
+    eig_method = g.eig_method
+    if dtype == "float32":
+        if slic_impl == "auto":
+            slic_impl = "xla"
+        if eig_method == "auto":
+            eig_method = "eigh"
+    return slic_impl, eig_method
+
+
 def superpixel_means(
     features: jnp.ndarray, labels: jnp.ndarray, n_sp: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -254,20 +277,7 @@ def graph_segment_batch(
         )
 
         b, h, w, _ = features.shape
-        # fp32 is parity mode (CLAUDE.md contract: bf16 = production, fp32 =
-        # parity-grade): "auto" resolves to the exact-f32 XLA SLIC and the
-        # dense eigh there, and to the fused bf16x3 SLIC kernel + matmul-only
-        # subspace eigensolver in bf16 production mode. The fused SLIC's
-        # bf16x3 scores agree ~0.995 per pixel with exact f32 — fine for the
-        # production path, but it capped fp32 end-to-end golden agreement at
-        # 0.9902 (measured 2026-08-19, exp_round_validation.py).
-        slic_impl = g.slic_impl
-        eig_method = g.eig_method
-        if cfg.dtype == "float32":
-            if slic_impl == "auto":
-                slic_impl = "xla"
-            if eig_method == "auto":
-                eig_method = "eigh"
+        slic_impl, eig_method = resolve_graph_impls(g, cfg.dtype)
         sp = slic_batch(lab, g.n_superpixels, g.slic_compactness, g.slic_iters, slic_impl)
         gh, gw, _ = grid_shape(h, w, g.n_superpixels)
         # cv2's SLIC contract includes enforceLabelConnectivity

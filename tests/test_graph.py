@@ -186,3 +186,22 @@ def test_fused_moments_match_xla():
         np.testing.assert_array_equal(np.asarray(cnts[i]), np.asarray(c_ref))
         m = np.asarray(sums[i]) / np.maximum(np.asarray(cnts[i]), 1.0)[:, None]
         np.testing.assert_allclose(m, np.asarray(m_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_resolve_graph_impls_dtype_aware():
+    """fp32 parity mode must resolve "auto" to the exact paths (the fused
+    bf16x3 SLIC kernel capped fp32 golden agreement at 0.9902 — PARITY.md);
+    bf16 production mode must leave "auto" for the backend-aware fast
+    resolution; explicit settings always win."""
+    from gabor_color_image_segmentation_tpu.config import GraphConfig
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        resolve_graph_impls,
+    )
+
+    g = GraphConfig(enabled=True)
+    assert resolve_graph_impls(g, "float32") == ("xla", "eigh")
+    assert resolve_graph_impls(g, "bfloat16") == ("auto", "auto")
+    import dataclasses
+
+    g_forced = dataclasses.replace(g, slic_impl="fused", eig_method="subspace")
+    assert resolve_graph_impls(g_forced, "float32") == ("fused", "subspace")
