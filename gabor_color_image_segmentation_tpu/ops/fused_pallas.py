@@ -52,6 +52,12 @@ from gabor_color_image_segmentation_tpu.ops.modulated import (
 _CHUNK_MODE = "fixed"  # "fixed": step = _CHUNK_WINDOW rows/cols per chunk
 _CHUNK_WINDOW = 128
 
+# Kernels per grid step (None = the heuristic in _fused_group). Module
+# global so experiments/exp_nc_sweep.py can retune; per-element math is
+# identical for any value that divides the group size, only grid-step
+# amortization and VMEM residency change.
+_N_C_OVERRIDE: int | None = None
+
 # Measurement-only stage ablation (experiments/exp_stage_ablation.py reads
 # the per-stage cost of the kernel by deleting stages; NEVER set in
 # production — results are numerically wrong by design). Recognized items:
@@ -143,9 +149,17 @@ def _group_kernel(
         # original fixed-128-row chunking; "window" targets a fixed
         # contraction window (scale*step + band ~= _CHUNK_WINDOW). Swept on
         # TPU 2026-08-18 (see exp_bandstep.py): fixed-128 won — smaller
-        # windows cut MACs but the extra dot dispatches cost more.
+        # windows cut MACs but the extra dot dispatches cost more. The
+        # stride-2 pooled-smoothing dots are the exception: a fixed-128
+        # step at scale=2 gives a 2*128+band window that the MXU pads to
+        # 384 lanes, so they cap the window instead (measured 2026-08-19:
+        # energies+twin 22.8 -> 22.2 ms/op at config1 batch-16 — the rest
+        # of the twin's ~2.3 ms is its output DMA, not MACs; bitwise-
+        # identical — only exact-zero band terms are dropped either way).
         if _CHUNK_MODE == "fixed":
-            return _CHUNK_WINDOW
+            if scale == 1:
+                return _CHUNK_WINDOW
+            return max(((_CHUNK_WINDOW - band) // scale) // 16 * 16, 16)
         for window in (_CHUNK_WINDOW, 256, 384, 512):
             step = ((window - band) // scale) // 16 * 16
             if step >= 16:
@@ -304,6 +318,8 @@ def _fused_group(
     # Large tiles (config-4 spatial tiling) drop to one kernel per step —
     # the out block and Toeplitz matrices scale with the tile area.
     n_c = 2 if (n % 2 == 0 and h * w <= 400_000) else 1
+    if _N_C_OVERRIDE is not None and n % _N_C_OVERRIDE == 0:
+        n_c = _N_C_OVERRIDE
     n_chunks = n // n_c
 
     mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
