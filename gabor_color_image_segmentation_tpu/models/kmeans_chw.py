@@ -62,11 +62,33 @@ from jax.experimental.pallas import tpu as pltpu
 from gabor_color_image_segmentation_tpu.ops.precision import precision_for
 
 _K_PAD = 8  # centers on one sublane tile; same ceiling as kmeans_pallas
-_HB = 16  # image rows per grid step = one bf16 sublane tile of (h, w)
+_HB = 16  # image rows per sub-tile = one bf16 sublane tile of (h, w)
+
+# Sub-tiles per grid step (None = _pick_tsub heuristic). The expanded
+# weight matrices scale with the SUB-TILE height (hb), not the grid-step
+# block, so processing T sub-tiles per step reuses the same weights and
+# issues the same dots in the same order — bitwise-identical labels and
+# partial sums — while cutting grid steps (and their fixed per-step cost)
+# by T. Module global so experiments can re-sweep.
+_T_SUB_OVERRIDE: Optional[int] = None
 
 
 def _num_blocks(h: int) -> int:
     return -(-h // _HB)
+
+
+def _pick_tsub(nb: int, e: int, w: int, itemsize: int) -> int:
+    """Largest divisor of nb (so the partial-sum count and the XLA-side
+    reduction shape stay IDENTICAL to t_sub=1 — bitwise-equal results)
+    whose per-step streamed block fits a ~12 MB VMEM budget (x2 for
+    double buffering stays well under the 100 MB scoped limit)."""
+    if _T_SUB_OVERRIDE is not None and nb % _T_SUB_OVERRIDE == 0:
+        return _T_SUB_OVERRIDE
+    best = 1
+    for t in range(2, min(nb, 16) + 1):
+        if nb % t == 0 and (e + 4) * _HB * t * w * itemsize <= 12 * 2**20:
+            best = t
+    return best
 
 
 def _expand_diag(m: jnp.ndarray, hb: int) -> jnp.ndarray:
@@ -123,6 +145,7 @@ def _lloyd_chw_kernel(
     h: int,
     w: int,
     assign_only: bool,
+    t_sub: int,
 ):
     g = len(es)
     xe_refs = refs[:g]
@@ -136,67 +159,80 @@ def _lloyd_chw_kernel(
         psc_ref = refs[3 * g + 4]
 
     i = pl.program_id(1)
-    xes = [r[0].reshape(eg * hb, w) for r, eg in zip(xe_refs, es)]
-    xc = xc_ref[0].reshape(4 * hb, w)
-    xc, = (_mask_invalid_rows_one(xc, hb, h, i),)
-    xes = [_mask_invalid_rows_one(x, hb, h, i) for x in xes]
-    prec = precision_for(xc.dtype)
-    # one dot per group scores all hb rows for all centers: rows ordered
-    # k-major so the argmin is an unrolled leading-dim min below. Only the
-    # k REAL center rows are expanded (M = k*hb, not _K_PAD*hb) — MXU cost
-    # scales with M and k=5 of 8 padded rows would be 37% pure waste.
-    s = jax.lax.dot_general(
-        wcc_ref[0], xc, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    for xg, wg in zip(xes, wce_refs):
-        s = s + jax.lax.dot_general(
-            wg[0], xg, (((1,), (0,)), ((), ())),
+    prec = precision_for(xc_ref.dtype)
+    # t_sub sub-tiles of hb rows per grid step: the weight matrices scale
+    # with hb (one sub-tile), so every sub-tile reuses them and issues the
+    # SAME dots as the t_sub=1 kernel — only the per-step fixed cost is
+    # amortized. Static unroll; tile-aligned sublane slices.
+    for t in range(t_sub):
+        ii = i * t_sub + t  # global sub-tile index (= old program_id)
+        sl = slice(t * hb, (t + 1) * hb)
+        xes = [
+            r[0, :, sl, :].reshape(eg * hb, w)
+            for r, eg in zip(xe_refs, es)
+        ]
+        xc = xc_ref[0, :, sl, :].reshape(4 * hb, w)
+        xc = _mask_invalid_rows_one(xc, hb, h, ii)
+        xes = [_mask_invalid_rows_one(x, hb, h, ii) for x in xes]
+        # one dot per group scores all hb rows for all centers: rows
+        # ordered k-major so the argmin is an unrolled leading-dim min
+        # below. Only the k REAL center rows are expanded (M = k*hb, not
+        # _K_PAD*hb) — MXU cost scales with M and k=5 of 8 padded rows
+        # would be 37% pure waste.
+        s = jax.lax.dot_general(
+            wcc_ref[0], xc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # (k*HB, W)
-    s3 = s.reshape(k, hb, w)
-    offs = offs_ref[0][:, 0:1]  # (8, 1)
-    # scores = offs - 2*cross; unrolled first-min argmin over the k real rows
-    best = offs[0, 0] - 2.0 * s3[0]
-    lbl = jnp.zeros((hb, w), jnp.int32)
-    for kk in range(1, k):
-        sc = offs[kk, 0] - 2.0 * s3[kk]
-        m = sc < best
-        lbl = jnp.where(m, jnp.int32(kk), lbl)
-        best = jnp.where(m, sc, best)
-    labels_ref[0] = lbl
-    if assign_only:
-        # final-assignment pass: the caller only wants labels under fixed
-        # centers, so the one-hot build + both raw-sum MXU dots (half the
-        # pass's FLOPs) are skipped — bytes streamed are identical, labels
-        # bitwise-identical (same scores, same argmin).
-        return
+        )
+        for xg, wg in zip(xes, wce_refs):
+            s = s + jax.lax.dot_general(
+                wg[0], xg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # (k*HB, W)
+        s3 = s.reshape(k, hb, w)
+        offs = offs_ref[0][:, 0:1]  # (8, 1)
+        # scores = offs - 2*cross; unrolled first-min argmin over the k
+        # real rows
+        best = offs[0, 0] - 2.0 * s3[0]
+        lbl = jnp.zeros((hb, w), jnp.int32)
+        for kk in range(1, k):
+            sc = offs[kk, 0] - 2.0 * s3[kk]
+            m = sc < best
+            lbl = jnp.where(m, jnp.int32(kk), lbl)
+            best = jnp.where(m, sc, best)
+        labels_ref[0, sl, :] = lbl
+        if assign_only:
+            # final-assignment pass: the caller only wants labels under
+            # fixed centers, so the one-hot build + both raw-sum MXU dots
+            # (half the pass's FLOPs) are skipped — bytes streamed are
+            # identical, labels bitwise-identical (same scores, same
+            # argmin).
+            continue
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, hb, w), 1)
-    valid = (row + i * hb) < h  # rows past the image get no vote
-    sub = jax.lax.broadcasted_iota(jnp.int32, (k, hb, w), 0)
-    oh3 = ((sub == lbl[None]) & valid).astype(xc.dtype)
-    oh = oh3.reshape(k * hb, w)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, hb, w), 1)
+        valid = (row + ii * hb) < h  # rows past the image get no vote
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, hb, w), 0)
+        oh3 = ((sub == lbl[None]) & valid).astype(xc.dtype)
+        oh = oh3.reshape(k * hb, w)
 
-    def collapse(p, d):
-        r = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 1)
-        rp = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 2) % hb
-        return jnp.sum(jnp.where(r == rp, p, 0.0), axis=1)
+        def collapse(p, d):
+            r = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 1)
+            rp = jax.lax.broadcasted_iota(jnp.int32, (k, hb, d * hb), 2) % hb
+            return jnp.sum(jnp.where(r == rp, p, 0.0), axis=1)
 
-    # raw-sum update: contract lanes (the Q @ K^T MXU form), then collapse
-    # the block-diagonal: psums[kk, (d, r')] = sum_r P[(kk, r), (d, r')]
-    # masked to r == r'
-    for xg, eg, pse_ref in zip(xes, es, pse_refs):
-        pe = jax.lax.dot_general(
-            oh, xg, (((1,), (1,)), ((), ())),
+        # raw-sum update: contract lanes (the Q @ K^T MXU form), then
+        # collapse the block-diagonal: psums[kk, (d, r')] =
+        # sum_r P[(kk, r), (d, r')] masked to r == r'
+        for xg, eg, pse_ref in zip(xes, es, pse_refs):
+            pe = jax.lax.dot_general(
+                oh, xg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(k, hb, eg * hb)
+            pse_ref[0, t] = collapse(pe, eg)
+        pc = jax.lax.dot_general(
+            oh, xc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        ).reshape(k, hb, eg * hb)
-        pse_ref[0, 0] = collapse(pe, eg)
-    pc = jax.lax.dot_general(
-        oh, xc, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ).reshape(k, hb, 4 * hb)
-    psc_ref[0, 0] = collapse(pc, 4)
+        ).reshape(k, hb, 4 * hb)
+        psc_ref[0, t] = collapse(pc, 4)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
@@ -210,6 +246,10 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
     int32, sums_e (B, K8, E) f32 concatenated over groups, sums_c4
     (B, K8, 4) f32) — raw-space sums; sums_c4[..., 3] is the member count.
     assign_only=True returns labels alone and skips the raw-sum dots.
+
+    Each grid step processes t_sub sub-tiles of hb rows (see _pick_tsub):
+    same dots, same per-sub-tile partial sums, identical XLA-side
+    reduction shape — bitwise-equal to t_sub=1, minus the per-step cost.
     """
     if not isinstance(xe_groups, (tuple, list)):
         xe_groups = (xe_groups,)
@@ -217,15 +257,19 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
         wce_groups = (wce_groups,)
     b, _, h, w = xe_groups[0].shape
     es = tuple(x.shape[1] for x in xe_groups)
+    e = sum(es)
     nb = _num_blocks(h)
+    t_sub = _pick_tsub(nb, e, w, xe_groups[0].dtype.itemsize)
+    nbo = nb // t_sub
     kernel = functools.partial(
         _lloyd_chw_kernel, k=k, es=es, hb=hb, h=h, w=w,
-        assign_only=assign_only,
+        assign_only=assign_only, t_sub=t_sub,
     )
+    hs = hb * t_sub  # rows per grid step
     in_specs = (
-        [pl.BlockSpec((1, eg, hb, w), lambda bi, i: (bi, 0, i, 0),
+        [pl.BlockSpec((1, eg, hs, w), lambda bi, i: (bi, 0, i, 0),
                       memory_space=pltpu.VMEM) for eg in es]
-        + [pl.BlockSpec((1, 4, hb, w), lambda bi, i: (bi, 0, i, 0),
+        + [pl.BlockSpec((1, 4, hs, w), lambda bi, i: (bi, 0, i, 0),
                         memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((1, k * hb, eg * hb), lambda bi, i: (bi, 0, 0),
                         memory_space=pltpu.VMEM) for eg in es]
@@ -235,15 +279,17 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
                         memory_space=pltpu.VMEM)]
     )
     out_specs = [
-        pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+        pl.BlockSpec((1, hs, w), lambda bi, i: (bi, i, 0),
                      memory_space=pltpu.VMEM)
     ]
     out_shape = [jax.ShapeDtypeStruct((b, h, w), jnp.int32)]
     if not assign_only:
         out_specs += (
-            [pl.BlockSpec((1, 1, k, eg * hb), lambda bi, i: (bi, i, 0, 0),
+            [pl.BlockSpec((1, t_sub, k, eg * hb),
+                          lambda bi, i: (bi, i, 0, 0),
                           memory_space=pltpu.VMEM) for eg in es]
-            + [pl.BlockSpec((1, 1, k, 4 * hb), lambda bi, i: (bi, i, 0, 0),
+            + [pl.BlockSpec((1, t_sub, k, 4 * hb),
+                            lambda bi, i: (bi, i, 0, 0),
                             memory_space=pltpu.VMEM)]
         )
         out_shape += (
@@ -251,10 +297,9 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
              for eg in es]
             + [jax.ShapeDtypeStruct((b, nb, k, 4 * hb), jnp.float32)]
         )
-    e = sum(es)
     outs = pl.pallas_call(
         kernel,
-        grid=(b, nb),
+        grid=(b, nbo),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -291,82 +336,88 @@ def _lloyd_chw_pass(xe_groups, xc4, wce_groups, wcc_x, offs, k: int,
 
 
 def _maximin_chw_kernel(
-    xe_ref,  # (1, E, HB, W)
-    xc_ref,  # (1, 4, HB, W)
+    xe_ref,  # (1, E, HB*T, W)
+    xc_ref,  # (1, 4, HB*T, W)
     wp_ref,  # (1, HB, E*HB) — expanded probe weights (a^2 * probe)
     wpc_ref,  # (1, HB, 4*HB)
     a2e_ref,  # (1, HB, E*HB) — expanded a^2 (weighted-||x||^2 matrix)
     a2c_ref,  # (1, HB, 4*HB)
     csq_ref,  # (1, 8, 128) f32 — probe self-term in [0, 0]
-    dmin_ref,  # (1, HB, W) f32 running min (ignored on reset)
-    dmin_out_ref,  # (1, HB, W) f32
-    beste_ref,  # (1, 1, 8, E*HB) f32 — block-argmax raw column, row 0
-    bestc_ref,  # (1, 1, 8, 4*HB) f32
-    bestv_ref,  # (1, 1, 8, 128) f32 — block max in [0, 0]
+    dmin_ref,  # (1, HB*T, W) f32 running min (ignored on reset)
+    dmin_out_ref,  # (1, HB*T, W) f32
+    beste_ref,  # (1, T, 8, E*HB) f32 — sub-tile-argmax raw column, row 0
+    bestc_ref,  # (1, T, 8, 4*HB) f32
+    bestv_ref,  # (1, T, 8, 128) f32 — sub-tile max in [0, 0]
     *,
     reset: bool,
     e: int,
     hb: int,
     h: int,
     w: int,
+    t_sub: int,
 ):
     i = pl.program_id(1)
-    xe = xe_ref[0].reshape(e * hb, w)
-    xc = xc_ref[0].reshape(4 * hb, w)
-    xe, xc = _mask_invalid_rows(xe, xc, hb, h, i)
-    prec = precision_for(xe.dtype)
+    prec = precision_for(xe_ref.dtype)
     f32 = jnp.float32
-    # weighted ||x||^2: one block-diag dot over the elementwise squares
-    # (f32 squares of bf16 operands are exact)
-    xe2 = (xe.astype(f32) * xe.astype(f32)).astype(xe.dtype)
-    xc2 = (xc.astype(f32) * xc.astype(f32)).astype(xc.dtype)
-    xsqw = jax.lax.dot_general(
-        a2e_ref[0], xe2, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    ) + jax.lax.dot_general(
-        a2c_ref[0], xc2, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    )  # (HB, W)
-    cross = jax.lax.dot_general(
-        wp_ref[0], xe, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    ) + jax.lax.dot_general(
-        wpc_ref[0], xc, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=prec,
-    )
-    d2 = xsqw - 2.0 * cross + csq_ref[0][0, 0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0)
-    valid = (row + i * hb) < h
-    d2 = jnp.where(valid, d2, -jnp.inf)
-    dmin_new = d2 if reset else jnp.minimum(dmin_ref[0], d2)
-    # re-mask after the min: the dmin INPUT's out-of-range rows are garbage
-    # (NaN in interpret mode) and min(garbage, -inf) keeps the garbage
-    dmin_new = jnp.where(valid, dmin_new, -jnp.inf)
-    dmin_out_ref[0] = dmin_new
-
-    # block argmax with first-(row, col) tie-break, then one-hot contraction
-    # to extract the winning RAW column without any lane gather
-    m = jnp.max(dmin_new)
-    col = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
-    idx = row * w + col
-    cand = jnp.where(dmin_new == m, idx, jnp.int32(2**30))
-    mi = jnp.min(cand)
-    oh = (cand == mi).astype(xe.dtype)  # single 1 at the block argmax
-
-    def pick(x, d):
-        p = jax.lax.dot_general(
-            oh, x, (((1,), (1,)), ((), ())),
+    for t in range(t_sub):  # see _lloyd_chw_kernel: same dots, fewer steps
+        ii = i * t_sub + t
+        sl = slice(t * hb, (t + 1) * hb)
+        xe = xe_ref[0, :, sl, :].reshape(e * hb, w)
+        xc = xc_ref[0, :, sl, :].reshape(4 * hb, w)
+        xe, xc = _mask_invalid_rows(xe, xc, hb, h, ii)
+        # weighted ||x||^2: one block-diag dot over the elementwise squares
+        # (f32 squares of bf16 operands are exact)
+        xe2 = (xe.astype(f32) * xe.astype(f32)).astype(xe.dtype)
+        xc2 = (xc.astype(f32) * xc.astype(f32)).astype(xc.dtype)
+        xsqw = jax.lax.dot_general(
+            a2e_ref[0], xe2, (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=prec,
-        )  # (HB, d*HB); keep the r == r' diagonal, collapse rows
-        r = jax.lax.broadcasted_iota(jnp.int32, (hb, d * hb), 0)
-        rp = jax.lax.broadcasted_iota(jnp.int32, (hb, d * hb), 1) % hb
-        return jnp.sum(jnp.where(r == rp, p, 0.0), axis=0, keepdims=True)
+        ) + jax.lax.dot_general(
+            a2c_ref[0], xc2, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )  # (HB, W)
+        cross = jax.lax.dot_general(
+            wp_ref[0], xe, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        ) + jax.lax.dot_general(
+            wpc_ref[0], xc, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+        d2 = xsqw - 2.0 * cross + csq_ref[0][0, 0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0)
+        valid = (row + ii * hb) < h
+        d2 = jnp.where(valid, d2, -jnp.inf)
+        dmin_new = d2 if reset else jnp.minimum(dmin_ref[0, sl, :], d2)
+        # re-mask after the min: the dmin INPUT's out-of-range rows are
+        # garbage (NaN in interpret mode) and min(garbage, -inf) keeps the
+        # garbage
+        dmin_new = jnp.where(valid, dmin_new, -jnp.inf)
+        dmin_out_ref[0, sl, :] = dmin_new
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, e * hb), 0)
-    beste_ref[0, 0] = jnp.where(lane == 0, pick(xe, e), 0.0)
-    lane4 = jax.lax.broadcasted_iota(jnp.int32, (8, 4 * hb), 0)
-    bestc_ref[0, 0] = jnp.where(lane4 == 0, pick(xc, 4), 0.0)
-    bestv_ref[0, 0] = jnp.full((8, 128), m, f32)
+        # sub-tile argmax with first-(row, col) tie-break, then one-hot
+        # contraction to extract the winning RAW column without any lane
+        # gather
+        m = jnp.max(dmin_new)
+        col = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
+        idx = row * w + col
+        cand = jnp.where(dmin_new == m, idx, jnp.int32(2**30))
+        mi = jnp.min(cand)
+        oh = (cand == mi).astype(xe.dtype)  # single 1 at the sub-tile argmax
+
+        def pick(x, d):
+            p = jax.lax.dot_general(
+                oh, x, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=prec,
+            )  # (HB, d*HB); keep the r == r' diagonal, collapse rows
+            r = jax.lax.broadcasted_iota(jnp.int32, (hb, d * hb), 0)
+            rp = jax.lax.broadcasted_iota(jnp.int32, (hb, d * hb), 1) % hb
+            return jnp.sum(jnp.where(r == rp, p, 0.0), axis=0, keepdims=True)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, e * hb), 0)
+        beste_ref[0, t] = jnp.where(lane == 0, pick(xe, e), 0.0)
+        lane4 = jax.lax.broadcasted_iota(jnp.int32, (8, 4 * hb), 0)
+        bestc_ref[0, t] = jnp.where(lane4 == 0, pick(xc, 4), 0.0)
+        bestv_ref[0, t] = jnp.full((8, 128), m, f32)
 
 
 @functools.partial(jax.jit, static_argnums=(8, 9, 10))
@@ -380,16 +431,19 @@ def _maximin_chw_pass(xe, xc4, wp_x, wpc_x, a2e_x, a2c_x, csq, dmin,
     """
     b, e, h, w = xe.shape
     nb = _num_blocks(h)
+    t_sub = _pick_tsub(nb, e, w, xe.dtype.itemsize)
+    nbo = nb // t_sub
+    hs = hb * t_sub
     kernel = functools.partial(
-        _maximin_chw_kernel, reset=reset, e=e, hb=hb, h=h, w=w
+        _maximin_chw_kernel, reset=reset, e=e, hb=hb, h=h, w=w, t_sub=t_sub
     )
     dmin_out, beste, bestc, bestv = pl.pallas_call(
         kernel,
-        grid=(b, nb),
+        grid=(b, nbo),
         in_specs=[
-            pl.BlockSpec((1, e, hb, w), lambda bi, i: (bi, 0, i, 0),
+            pl.BlockSpec((1, e, hs, w), lambda bi, i: (bi, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, hb, w), lambda bi, i: (bi, 0, i, 0),
+            pl.BlockSpec((1, 4, hs, w), lambda bi, i: (bi, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, e * hb), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -401,17 +455,17 @@ def _maximin_chw_pass(xe, xc4, wp_x, wpc_x, a2e_x, a2c_x, csq, dmin,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, hs, w), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, hb, w), lambda bi, i: (bi, i, 0),
+            pl.BlockSpec((1, hs, w), lambda bi, i: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, e * hb), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, t_sub, 8, e * hb), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 4 * hb), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, t_sub, 8, 4 * hb), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, t_sub, 8, 128), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
