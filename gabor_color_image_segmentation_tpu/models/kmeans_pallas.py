@@ -570,6 +570,120 @@ def _solve_t(buf, blk, n_valid, c0, max_iter, k, d, interpret):
     return labels, centers_pad
 
 
+def _coarse_all_kernel(
+    xt_ref,  # (1, dp, m_pad) mm dtype — the WHOLE pooled buffer, resident
+    cout_ref,  # (1, _K_PAD, dp) f32 final padded centers
+    *,
+    k: int,
+    d: int,
+    m: int,
+    iters: int,
+):
+    """Maximin seeding + ALL coarse Lloyd iterations in ONE kernel launch.
+
+    The multigrid warmup buffer is tiny (config1's 4x4 grid: 6.3 MB/image
+    bf16), but the launch-per-pass form costs 5 maximin + up to 15 Lloyd
+    pallas launches with XLA glue between them — measured ~3.0 ms of the
+    29.4 ms config1 budget against a ~0.4 ms data floor (exp_e2e_split.py).
+    Here the buffer sits in VMEM once and the passes chain in-register.
+    Same probe sequence, scores, tie-breaks and empty-cluster rule as
+    _maximin_init_t_fused + _solve_t (which remain the f32 parity-mode
+    path); a fixed ``iters`` loop replaces the fixed-point early exit —
+    identical final centers, because the update is idempotent at the fixed
+    point. Reduction geometry differs from the blocked passes (one
+    m_pad-wide dot vs per-block partials summed in XLA), so centers can
+    move by ulps — why this path is gated to bf16 production mode.
+    """
+    xt = xt_ref[0]  # (dp, m_pad)
+    prec = precision_for(xt.dtype)
+    f32 = jnp.float32
+    dp, m_pad = xt.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+    valid = col < m
+
+    def lane_dot(a):  # (r, m_pad) @ xt^T -> (r, dp) f32, lane contraction
+        return jax.lax.dot_general(
+            a, xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+
+    def sub_dot(c):  # (r, dp) f32 centers @ xt -> (r, m_pad) f32 scores
+        return jax.lax.dot_general(
+            c.astype(xt.dtype), xt, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec,
+        )
+
+    # ---- maximin seeding: probe the extended mean, then farthest point --
+    ones = jnp.ones((1, m_pad), xt.dtype)
+    c = lane_dot(ones) / m  # (1, dp) extended mean (zero padding adds 0)
+    xsq = jnp.sum(jnp.square(xt.astype(f32)), axis=0, keepdims=True)
+    dmin = jnp.zeros((1, m_pad), f32)
+    rows = []
+    for step in range(k):
+        csq = jnp.sum(c * c)
+        d2 = xsq - 2.0 * sub_dot(c) + csq  # (1, m_pad)
+        d2 = jnp.where(valid, d2, -jnp.inf)
+        dmin = d2 if step < 2 else jnp.minimum(dmin, d2)
+        j = jnp.argmax(dmin, axis=1, keepdims=True)  # first index on ties
+        onehot = (col == j).astype(xt.dtype)  # single 1 at the argmax
+        c = lane_dot(onehot)  # (1, dp) = column j of xt
+        rows.append(c)
+    cpad = jnp.concatenate(
+        rows + [jnp.zeros((_K_PAD - k, dp), f32)], axis=0
+    )  # (8, dp)
+    laned = jax.lax.broadcasted_iota(jnp.int32, (_K_PAD, dp), 1)
+    cpad = jnp.where(laned == d, 0.0, cpad)  # ones-row entry never scores
+
+    # ---- Lloyd iterations, centers chained in-register ------------------
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_K_PAD, m_pad), 0)
+
+    def body(_, cp):
+        csqv = jnp.sum(cp * cp, axis=1, keepdims=True)  # (8, 1)
+        scores = csqv - 2.0 * sub_dot(cp)  # (8, m_pad)
+        scores = jnp.where(sub < k, scores, jnp.float32(3.4e38))
+        labels = jnp.argmin(scores, axis=0, keepdims=True).astype(jnp.int32)
+        onehot = ((sub == labels) & valid & (sub < k)).astype(xt.dtype)
+        sums = lane_dot(onehot)  # (8, dp); ones-row column = counts
+        counts = sums[:, d : d + 1]
+        new = sums / jnp.maximum(counts, 1.0)
+        new = jnp.where(laned == d, 0.0, new)
+        return jnp.where(counts > 0, new, cp)
+
+    cout_ref[0] = lax.fori_loop(0, iters, body, cpad)
+
+
+def _coarse_centers_fused_all(xp, k: int, d: int, m: int, iters: int,
+                              interpret: bool) -> jnp.ndarray:
+    b, dp, m_pad = xp.shape
+    kernel = functools.partial(_coarse_all_kernel, k=k, d=d, m=m, iters=iters)
+    cpad = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, dp, m_pad), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _K_PAD, dp), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, _K_PAD, dp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * (k + iters) * b * m_pad * dp),
+            bytes_accessed=int(xp.dtype.itemsize * b * m_pad * dp),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp)
+    return cpad[:, :k, :d]
+
+
+# one image's pooled buffer must fit VMEM alongside the kernel's (8, m_pad)
+# working set for the launch-fused coarse solver
+_COARSE_FUSE_BYTES = 12 * 2**20
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def kmeans_coarse_centers_xp(
     xp: jnp.ndarray, k: int, d: int, m: int, coarse_iters: int
@@ -587,10 +701,21 @@ def kmeans_coarse_centers_xp(
     if k > _K_PAD:
         raise ValueError(f"fused Lloyd supports k <= {_K_PAD}, got {k}")
     b, dp, m_pad = xp.shape
+    interpret = jax.default_backend() != "tpu"
+    if (
+        xp.dtype == jnp.bfloat16
+        and dp * m_pad * xp.dtype.itemsize <= _COARSE_FUSE_BYTES
+    ):
+        # bf16 production mode: one launch for the whole warmup (see
+        # _coarse_all_kernel). f32 parity mode keeps the blocked pass loop
+        # below — its reduction geometry is the one the golden-agreement
+        # numbers were pinned against.
+        return _coarse_centers_fused_all(
+            xp, k, d, m, coarse_iters, interpret
+        )
     block = _block_for_t(m, dp, jnp.dtype(xp.dtype).itemsize)
     if m_pad % block:
         raise ValueError(f"xp lane dim {m_pad} not a multiple of block {block}")
-    interpret = jax.default_backend() != "tpu"
     c0 = _maximin_init_t_fused(xp, k, m, block, interpret)
     _, cpad = _solve_t(xp, block, m, c0, coarse_iters, k, d, interpret)
     return cpad[:, :k, :d]
