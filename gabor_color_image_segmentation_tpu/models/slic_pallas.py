@@ -99,24 +99,15 @@ def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
-def _slic_kernel(
-    zp_ref,  # (1, 3*_C, band_px) bf16 — PACKED pixels [z_hi; z_lo; z_hi]
-    cand_ref,  # (1, 1, _CAND, _C) f32 — candidate centroids (weighted, ones-col)
-    rb_ref,  # (n_bands, 1) int32 SMEM — first candidate grid row per band
-    labels_ref,  # (1, 1, 8, band_px // 8) int32 — global ids, row-major view
-    psums_ref,  # (1, 1, _CAND, _C) f32 — per-band partial sums
-    *,
-    h: int,
-    w: int,
-    wp: int,
-    gh: int,
-    gw: int,
-    w_rows: int,
-    band_px: int,
-):
-    t = pl.program_id(1)
-    zp = zp_ref[0]  # (3*_C, band_px) bf16
-    cand = cand_ref[0, 0]  # (_CAND, _C) f32
+def _band_assign(zp, cand, rb, t, *, h, w, wp, gh, gw, w_rows, band_px,
+                 want_psums: bool):
+    """Shared band-assignment math of the per-band and whole-image kernels.
+
+    zp: (3*_C, band_px) bf16 packed pixels of band t; cand: (_CAND, _C) f32
+    candidate centroids; rb: the band's first candidate grid row (traced
+    scalar or static int). Returns (local labels (band_px,) int32, psums
+    (_CAND, _C) f32 or None).
+    """
     csq = jnp.sum(cand * cand, axis=1)  # (_CAND,) f32 exact
     # Precision: TPU DEFAULT f32 dots round inputs to bf16, and the +-0.4%
     # score error matches the score gap between adjacent candidates (measured
@@ -135,7 +126,6 @@ def _slic_kernel(
     )  # (_CAND, band_px)
     scores = csq[:, None] - 2.0 * cross
 
-    rb = rb_ref[t, 0]
     # pixel coordinates from the flat padded index
     p = t * band_px + jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
     y = p // wp
@@ -153,7 +143,8 @@ def _slic_kernel(
     )  # (_CAND, band_px)
     scores = jnp.where(ok, scores, jnp.float32(3.4e38))
     local = jnp.argmin(scores, axis=0).astype(jnp.int32)  # (band_px,)
-    labels_ref[0, 0] = (rb * gw + local).reshape(8, band_px // 8)
+    if not want_psums:
+        return local, None
 
     valid = ((y < h) & (x < w)).astype(jnp.bfloat16)  # (1, band_px)
     onehot = (
@@ -165,7 +156,122 @@ def _slic_kernel(
         onehot, zp[: 2 * _C], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (_CAND, 2*_C)
-    psums_ref[0, 0] = both[:, :_C] + both[:, _C:]
+    return local, both[:, :_C] + both[:, _C:]
+
+
+def _slic_kernel(
+    zp_ref,  # (1, 3*_C, band_px) bf16 — PACKED pixels [z_hi; z_lo; z_hi]
+    cand_ref,  # (1, 1, _CAND, _C) f32 — candidate centroids (weighted, ones-col)
+    rb_ref,  # (n_bands, 1) int32 SMEM — first candidate grid row per band
+    labels_ref,  # (1, 1, 8, band_px // 8) int32 — global ids, row-major view
+    psums_ref,  # (1, 1, _CAND, _C) f32 — per-band partial sums
+    *,
+    h: int,
+    w: int,
+    wp: int,
+    gh: int,
+    gw: int,
+    w_rows: int,
+    band_px: int,
+):
+    t = pl.program_id(1)
+    rb = rb_ref[t, 0]
+    local, psums = _band_assign(
+        zp_ref[0], cand_ref[0, 0], rb, t, h=h, w=w, wp=wp, gh=gh, gw=gw,
+        w_rows=w_rows, band_px=band_px, want_psums=True,
+    )
+    labels_ref[0, 0] = (rb * gw + local).reshape(8, band_px // 8)
+    psums_ref[0, 0] = psums
+
+
+def _slic_all_kernel(
+    zp_ref,  # (1, 3*_C, Np) bf16 — the WHOLE packed image, VMEM-resident
+    cw0_ref,  # (1, S_pad, _C) f32 — initial weighted centroids
+    labels_ref,  # (1, n_bands, 8, band_px // 8) int32
+    *,
+    h: int,
+    w: int,
+    wp: int,
+    gh: int,
+    gw: int,
+    w_rows: int,
+    band_px: int,
+    n_bands: int,
+    rb: tuple,
+    n_iter: int,
+    n_sp: int,
+    s_pad: int,
+):
+    """All SLIC Lloyd iterations in ONE launch, centroids chained
+    in-register. Per-band scores/tie-breaks/sums are _band_assign, shared
+    verbatim with the per-band kernel; the candidate gather and band
+    scatter happen on the (S_pad, _C) centroid table in VMEM, in the same
+    band order as the XLA glue they replace — labels bitwise-equal to the
+    launch-per-pass form (TPU-verified on the eval batch).
+
+    Measured 2026-08-19 (config3 batch-8, TPU v5 lite): 9.51 -> 9.01
+    ms/op. The modest win is itself a finding: SLIC's cost is NOT launch
+    overhead or DMA — it is the in-kernel VPU work on the (128, band_px)
+    candidate window (iteration-invariant cell masks recomputed per pass,
+    the 128-way argmin, the one-hot build), which this fusion does not
+    change. A bigger win needs a narrower candidate window or rank-1
+    mask factorization, not fewer launches."""
+    f32 = jnp.float32
+    ncr = w_rows * gw
+
+    def cand_window(cw, lo):  # rows [lo, lo+ncr) padded to _CAND
+        win = cw[lo : lo + ncr]
+        if ncr == _CAND:
+            return win
+        return jnp.concatenate(
+            [win, jnp.zeros((_CAND - ncr, _C), f32)], axis=0
+        )
+
+    def iterate(cw):  # (S_pad, _C) -> updated centroids
+        g = jnp.zeros((s_pad, _C), f32)
+        for t in range(n_bands):
+            lo = rb[t] * gw
+            cand = cand_window(cw, lo)
+            zpb = zp_ref[0, :, t * band_px : (t + 1) * band_px]
+            _, ps = _band_assign(
+                zpb, cand, rb[t], t, h=h, w=w, wp=wp, gh=gh, gw=gw,
+                w_rows=w_rows, band_px=band_px, want_psums=True,
+            )
+            # Mosaic has no scatter-add: pad the band's rows to the full
+            # table with zero rows and add — same band order, same f32
+            # adds as the XLA .at[lo:lo+ncr].add glue this replaces
+            # (zero-sized pieces are invalid Mosaic vectors — guard them)
+            pieces = []
+            if lo > 0:
+                pieces.append(jnp.zeros((lo, _C), f32))
+            pieces.append(ps[:ncr])
+            if s_pad - lo - ncr > 0:
+                pieces.append(jnp.zeros((s_pad - lo - ncr, _C), f32))
+            g = g + (
+                jnp.concatenate(pieces, axis=0)
+                if len(pieces) > 1 else pieces[0]
+            )
+        counts = g[:, _ONES_COL : _ONES_COL + 1]
+        new = g / jnp.maximum(counts, 1.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s_pad, _C), 1)
+        new = jnp.where(lane == _ONES_COL, 1.0, new)
+        return jnp.where(counts > 0, new, cw)
+
+    cw = lax.fori_loop(0, n_iter, lambda _, c: iterate(c), cw0_ref[0])
+
+    for t in range(n_bands):  # final assignment under the converged table
+        lo = rb[t] * gw
+        cand = cand_window(cw, lo)
+        zpb = zp_ref[0, :, t * band_px : (t + 1) * band_px]
+        local, _ = _band_assign(
+            zpb, cand, rb[t], t, h=h, w=w, wp=wp, gh=gh, gw=gw,
+            w_rows=w_rows, band_px=band_px, want_psums=False,
+        )
+        labels_ref[0, t] = (rb[t] * gw + local).reshape(8, band_px // 8)
+
+
+# one image's packed pixel buffer must fit VMEM for the all-iterations form
+_SLIC_FUSE_BYTES = 24 * 2**20
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -238,6 +344,50 @@ def slic_fused(
     )
     interpret = jax.default_backend() != "tpu"
     n_cand_rows = w_rows * gw
+
+    if z_pack.shape[1] * z_pack.shape[2] * 2 <= _SLIC_FUSE_BYTES:
+        # whole image resident in VMEM: one launch runs every iteration
+        # (see _slic_all_kernel); larger frames fall through to the
+        # launch-per-pass banded loop below
+        s_pad = -(-n_sp // 8) * 8
+        cw0_pad = jnp.pad(cw0, ((0, 0), (0, s_pad - n_sp), (0, 0)))
+        all_kernel = functools.partial(
+            _slic_all_kernel, h=h, w=w, wp=wp, gh=gh, gw=gw, w_rows=w_rows,
+            band_px=band_px, n_bands=n_bands, rb=tuple(int(r) for r in rb),
+            n_iter=n_iter, n_sp=n_sp, s_pad=s_pad,
+        )
+        labels = pl.pallas_call(
+            all_kernel,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, 3 * _C, hp * wp), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_pad, _C), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_bands, 8, band_px // 8), lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, n_bands, 8, band_px // 8), jnp.int32
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(
+                    2 * 2 * (n_iter + 1) * b * n_bands * band_px * _CAND * _C * 8
+                ),
+                bytes_accessed=int(2 * b * 3 * _C * hp * wp),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # the 11 statically-unrolled band bodies don't share stack
+                # slots in Mosaic; measured peak 102.5 MB at config3 shape
+                # (v5e VMEM is 128 MB physical)
+                vmem_limit_bytes=116 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(z_pack, cw0_pad)
+        return labels.reshape(b, n_bands * band_rows, wp)[:, :h, :w]
 
     def gather_cands(cw):  # (B, S, _C) -> (B, n_bands, _CAND, _C)
         outs = []

@@ -4,7 +4,7 @@ These tests run ONLY when a real TPU backend is attached (the CPU CI suite
 skips them): they assert end-to-end MP/s/chip floors well below the measured
 numbers (BASELINE.md) so genuine regressions trip them but tunnel jitter
 does not. Measured 2026-08-18/19 on v5 lite (iters=50 methodology):
-config0 169.9, config1 90.7, config2 58.9, config3 51.4, config4 110.1.
+config0 169.9, config1 90.7, config2 58.9, config3 53.5, config4 110.1.
 
 NOTE: tests/conftest.py forces the CPU backend for the rest of the suite;
 this module must re-select the TPU explicitly, so it spawns a subprocess

@@ -173,6 +173,28 @@ def test_fused_banded_matches_plain(small_mosaic):
     assert agree > 0.99, f"fused SLIC agreement {agree}"
 
 
+def test_fused_all_matches_banded_loop(small_mosaic):
+    """The whole-image all-iterations SLIC kernel (_slic_all_kernel) must
+    be EXACTLY the launch-per-pass banded loop it replaces: same per-band
+    dots via the shared _band_assign, same band-order scatter adds, same
+    empty-cluster rule — bitwise-equal labels (interpret mode here; the
+    TPU bit-equality was verified on the eval batch, see git log)."""
+    import jax.numpy as jnp
+
+    import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
+
+    rgb, _ = small_mosaic
+    lab = jnp.asarray(rgb_to_lab_np(rgb))[None]
+    fused_all = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+    old = sp._SLIC_FUSE_BYTES
+    try:
+        sp._SLIC_FUSE_BYTES = 0  # force the banded launch-per-pass form
+        banded = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+    finally:
+        sp._SLIC_FUSE_BYTES = old
+    assert (fused_all == banded).all()
+
+
 def test_fused_banded_downstream_regions(small_mosaic):
     """Boundary-pixel flips from the fused kernel must not move the final
     n-cut regions: superpixel means average ~hundreds of pixels."""
