@@ -58,6 +58,17 @@ _CHUNK_WINDOW = 128
 # amortization and VMEM residency change.
 _N_C_OVERRIDE: int | None = None
 
+# vmod (pre-modulated vertical envelope) path toggle. STATUS: measured
+# NEGATIVE result, kept for the record (experiments/exp_vmod.py,
+# 2026-08-19): folding EV @ (img o cy) into (EV o cy) @ img removes the
+# full-size (Hp, Wp) modulated-plane VPU builds that stage ablation priced
+# at ~3.8 ms/op — yet config1 batch-16 measured 17.95 (plain) vs 18.05
+# (vmod) ms/op. The plane builds evidently overlap with the MXU dots, so
+# deleting VPU work buys nothing while the per-kernel matrix DMA adds a
+# little. Production therefore keeps the plain path (None/False); tests
+# still pin vmod's numerics so the record stays executable.
+_VMOD_OVERRIDE: bool | None = None
+
 # Measurement-only stage ablation (experiments/exp_stage_ablation.py reads
 # the per-stage cost of the kernel by deleting stages; NEVER set in
 # production — results are numerically wrong by design). Recognized items:
@@ -106,12 +117,11 @@ def _group_kernel(
     bv_ref,  # (H, Hp) ones-band Toeplitz (vertical box correlation)
     bh_ref,  # (Wp, W) ones-band Toeplitz (horizontal box, transposed)
     par_ref,  # (n_chunks, 3*n_c) f32 SMEM (full): [wx..., wy..., mu...]
-    ev_ref,  # (H, Hp) envelope Toeplitz (vertical)
-    eh_ref,  # (Wp, W) envelope Toeplitz (horizontal, transposed)
-    sv_ref,  # (H, H) smoothing Toeplitz, REFLECT_101 folded (vertical)
-    sh_ref,  # (W, W) smoothing Toeplitz, REFLECT_101 folded (horiz, transposed)
-    *refs,  # [svp_ref (H2, H), shp_ref (W, W2)] if pooled, then out_ref(s),
-    # then box scratch (C, H, W) f32 (filled on chunk 0, reused after)
+    *refs,  # [ev (H, Hp)] plain mode OR [evc, evs (n_c, H, Hp)] vmod mode,
+    # then eh (Wp, W), sv (H, H), sh (W, W) (smoothing REFLECT_101 folded,
+    # transposed on the right), [svp (H2, H), shp (W, W2)] if pooled, then
+    # out_ref(s), then box scratch (C, H, W) f32 (filled on chunk 0,
+    # reused after)
     c: int,
     n_c: int,
     p: int,
@@ -119,14 +129,24 @@ def _group_kernel(
     mm_dtype,
     precision,
     pooled: bool,
+    vmod: bool,
 ):
+    if vmod:
+        # bf16 production mode: the vertical envelope Toeplitz arrives
+        # pre-modulated per kernel — (EV o cos(wy*y)) and (EV o sin(wy*y)),
+        # combined on the host in f64 and rounded once (see _fused_group)
+        evc_ref, evs_ref, eh_ref, sv_ref, sh_ref, *refs = refs
+        ev_ref = None
+    else:
+        ev_ref, eh_ref, sv_ref, sh_ref, *refs = refs
+        evc_ref = evs_ref = None
     if pooled:
         svp_ref, shp_ref, out_ref, outp_ref, box_ref = refs
     else:
         out_ref, box_ref = refs
         svp_ref = shp_ref = outp_ref = None
     hp, wp = x_ref.shape[2], x_ref.shape[3]
-    hmid, wmid = ev_ref.shape[0], eh_ref.shape[1]
+    hmid, wmid = sv_ref.shape[0], eh_ref.shape[1]
     chunk = pl.program_id(1)
 
     # Banded-block dots: every Toeplitz here touches only a k- or 2r-wide
@@ -166,11 +186,14 @@ def _group_kernel(
                 return step
         return 128
 
-    def dot_banded_left(t_ref, m, off_lo, off_hi, scale=1):
-        rows, cols = t_ref.shape
+    def dot_banded_left(t_ref, m, off_lo, off_hi, scale=1, lead=()):
+        # ``lead``: leading indices into a >2-D ref (the per-kernel
+        # pre-modulated vertical matrices in vmod mode); the banded dot
+        # itself always runs on the trailing (rows, cols) plane.
+        rows, cols = t_ref.shape[len(lead):]
         step = _chunk_step(off_hi - off_lo, scale)
         if rows <= max(step, 128) and scale == 1:
-            return jnp.dot(t_ref[...], m,
+            return jnp.dot(t_ref[(*lead, slice(None), slice(None))], m,
                            preferred_element_type=jnp.float32,
                            precision=precision)
         parts = []
@@ -178,7 +201,8 @@ def _group_kernel(
             r1 = min(rows, r0 + step)
             a = max(0, scale * r0 + off_lo)
             b = min(cols, scale * r1 + off_hi)
-            parts.append(jnp.dot(t_ref[r0:r1, a:b], m[a:b],
+            parts.append(jnp.dot(t_ref[(*lead, slice(r0, r1), slice(a, b))],
+                                 m[a:b],
                                  preferred_element_type=jnp.float32,
                                  precision=precision))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
@@ -233,28 +257,55 @@ def _group_kernel(
         for cc in range(c):
             img = x_ref[0, cc]
 
-            def blur(m):
-                if "blur" in ablate:  # measurement-only: skip envelope dots
-                    return m[:hmid, :wmid].astype(jnp.float32)
-                v = dot_banded_left(ev_ref, m, 0, 2 * p)
-                return dot_banded_right(v.astype(mm_dtype), eh_ref, 0, 2 * p)
-
-            # cos(wy y + wx x) = cy cx - sy sx ; sin = sy cx + cy sx
-            # re/im processed sequentially so only one (Hp, Wp) modulated
-            # buffer is live at a time (VMEM headroom)
-            if "modulate" in ablate:  # measurement-only: raw image in
-                m_re = img.astype(mm_dtype)
-            else:
-                m_re = (img * (cy * cx) - img * (sy * sx)).astype(mm_dtype)
-            g_re = blur(m_re)  # (Hmid, Wmid) f32
-            if "im" in ablate:  # measurement-only: drop the imaginary pair
-                g_im = jnp.zeros_like(g_re)
-            else:
-                if "modulate" in ablate:
-                    m_im = img.astype(mm_dtype)
+            if vmod:
+                # Vertical modulation lives in the matrices: EV @ (img o cy)
+                # = (EV o cy) @ img, so both vertical dots read the RAW
+                # channel and the (Hp, Wp) modulated planes never
+                # materialize. Horizontal modulation commutes with the left
+                # dot (it scales columns), so it applies to the (H, Wp)
+                # intermediates instead — strictly less VPU work.
+                imgc = img.astype(mm_dtype)
+                vc = dot_banded_left(evc_ref, imgc, 0, 2 * p, lead=(0, jj))
+                vs = dot_banded_left(evs_ref, imgc, 0, 2 * p, lead=(0, jj))
+                # EV @ m_re = vc o cx - vs o sx ; EV @ m_im = -(vs o cx
+                # + vc o sx)  [m_re/m_im as in the plain path below]
+                g_re = dot_banded_right(
+                    (vc * cx - vs * sx).astype(mm_dtype), eh_ref, 0, 2 * p
+                )
+                if "im" in ablate:  # measurement-only
+                    g_im = jnp.zeros_like(g_re)
                 else:
-                    m_im = (-img * (sy * cx) - img * (cy * sx)).astype(mm_dtype)
-                g_im = blur(m_im)
+                    g_im = dot_banded_right(
+                        (-(vs * cx + vc * sx)).astype(mm_dtype),
+                        eh_ref, 0, 2 * p,
+                    )
+            else:
+                def blur(m):
+                    if "blur" in ablate:  # measurement-only: skip envelope dots
+                        return m[:hmid, :wmid].astype(jnp.float32)
+                    v = dot_banded_left(ev_ref, m, 0, 2 * p)
+                    return dot_banded_right(
+                        v.astype(mm_dtype), eh_ref, 0, 2 * p
+                    )
+
+                # cos(wy y + wx x) = cy cx - sy sx ; sin = sy cx + cy sx
+                # re/im processed sequentially so only one (Hp, Wp) modulated
+                # buffer is live at a time (VMEM headroom)
+                if "modulate" in ablate:  # measurement-only: raw image in
+                    m_re = img.astype(mm_dtype)
+                else:
+                    m_re = (img * (cy * cx) - img * (sy * sx)).astype(mm_dtype)
+                g_re = blur(m_re)  # (Hmid, Wmid) f32
+                if "im" in ablate:  # measurement-only: drop imaginary pair
+                    g_im = jnp.zeros_like(g_re)
+                else:
+                    if "modulate" in ablate:
+                        m_im = img.astype(mm_dtype)
+                    else:
+                        m_im = (
+                            -img * (sy * cx) - img * (cy * sx)
+                        ).astype(mm_dtype)
+                    g_im = blur(m_im)
             if "demod" in ablate:  # measurement-only: raw blur out
                 re, im = g_re, g_im
             else:
@@ -323,13 +374,26 @@ def _fused_group(
     n_chunks = n // n_c
 
     mm_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    # vmod: fold the VERTICAL modulation into per-kernel envelope Toeplitz
+    # matrices (EV o cos(wy*y), EV o sin(wy*y)), combined on the host in
+    # f64 and rounded once — the (Hp, Wp) modulated planes never
+    # materialize in VMEM. bf16-only: the fold changes f32 rounding
+    # (product association) and f32 parity mode's 1.0000 golden numbers
+    # were pinned against the plain path (PARITY.md). OFF in production —
+    # measured perf-neutral (see _VMOD_OVERRIDE STATUS above).
+    vmod = (
+        bool(_VMOD_OVERRIDE)
+        and mm_dtype == jnp.bfloat16
+        and not (_ABLATE & {"blur", "modulate"})
+    )
 
     def _mat(m: np.ndarray) -> jnp.ndarray:
         # pre-cast on host so the kernel holds exactly one copy in VMEM
         return jnp.asarray(m).astype(mm_dtype)
 
     env = _envelope_taps(group.sigma, p)
-    ev = _mat(_toeplitz(env, hmid, np.float32))
+    ev_np = _toeplitz(env, hmid, np.float32)
+    ev = None if vmod else _mat(ev_np)
     eh = _mat(_toeplitz(env, wmid, np.float32).T)
     ones_taps = np.ones(group.ksize, np.float32)
     bv = _mat(_toeplitz(ones_taps, hmid, np.float32))
@@ -366,6 +430,18 @@ def _fused_group(
         )
     )  # (n_chunks, 3*n_c)
 
+    if vmod:
+        # per-kernel pre-modulated vertical envelopes, (n_chunks, n_c, H, Hp)
+        # blocked along the chunk grid dim; y matches the kernel's padded
+        # iota (0..Hp-1), wy rounded to f32 first to match par_ref
+        ypad = np.arange(hp, dtype=np.float64)
+        phase = freqs[:, 1].astype(np.float64)[:, None] * ypad[None, :]
+        ev64 = ev_np.astype(np.float64)[None]  # (1, H, Hp)
+        evc = _mat((ev64 * np.cos(phase)[:, None, :])
+                   .reshape(n_chunks, n_c, hmid, hp))
+        evs = _mat((ev64 * np.sin(phase)[:, None, :])
+                   .reshape(n_chunks, n_c, hmid, hp))
+
     # channel-first, reflect-padded, per-channel CENTERED: for any constant
     # shift c the DC-corrected response is invariant (the mu*box correction
     # absorbs it exactly), and centering shrinks the large near-DC blur
@@ -384,7 +460,7 @@ def _fused_group(
     )
     kernel = functools.partial(
         _group_kernel, c=c, n_c=n_c, p=p, sradius=len(sm) // 2,
-        mm_dtype=mm_dtype, precision=precision, pooled=pooled,
+        mm_dtype=mm_dtype, precision=precision, pooled=pooled, vmod=vmod,
     )
 
     in_specs = [
@@ -397,12 +473,28 @@ def _fused_group(
         pl.BlockSpec(
             (n_chunks, 3 * n_c), lambda i, j: (0, 0), memory_space=pltpu.SMEM
         ),
-        pl.BlockSpec((hmid, hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xpad, bv, bh, par_in]
+    if vmod:
+        in_specs += [
+            pl.BlockSpec((1, n_c, hmid, hp), lambda i, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_c, hmid, hp), lambda i, j: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [evc, evs]
+    else:
+        in_specs += [
+            pl.BlockSpec((hmid, hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [ev]
+    in_specs += [
         pl.BlockSpec((wp, wmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((h, hmid), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((wmid, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [xpad, bv, bh, par_in, ev, eh, sv, sh]
+    operands += [eh, sv, sh]
     out_specs = pl.BlockSpec(
         (1, 1, n_c * c, h, w), lambda i, j: (i, j, 0, 0, 0),
         memory_space=pltpu.VMEM,

@@ -46,6 +46,39 @@ def test_rejects_anisotropic(lab):
         gabor_energies_fused(lab[None], bank)
 
 
+def test_bf16_vmod_matches_plain_bf16(lab):
+    """vmod folds vertical modulation into per-kernel pre-modulated
+    envelope Toeplitz matrices. It is a measured perf-neutral NEGATIVE
+    result kept off in production (fused_pallas._VMOD_OVERRIDE STATUS),
+    but its numerics stay pinned: same math as the plain bf16 path up to
+    one bf16 rounding of the combined (envelope x cos) factor, so the two
+    must agree at bf16-noise level — and both at the documented ~2e-3
+    bf16 bound vs the f32 direct path."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.ops import fused_pallas as fp
+
+    bank = make_bank(CFG)
+    raw = fp._fused_group.__wrapped__  # bypass jit cache: _VMOD_OVERRIDE
+    # is read at trace time and is not part of the jit key
+
+    def run(force):
+        fp._VMOD_OVERRIDE = force
+        try:
+            parts = [raw(jnp.asarray(lab[None]), g, bank, jnp.bfloat16)
+                     for g in bank.groups]
+        finally:
+            fp._VMOD_OVERRIDE = None
+        return np.concatenate([np.asarray(p, np.float32) for p in parts],
+                              axis=-1)
+
+    vmod, plain = run(True), run(False)
+    direct = np.asarray(gabor_energies(lab[None], bank))
+    peak = np.abs(direct).max()
+    np.testing.assert_allclose(vmod, plain, atol=2e-2 * peak, rtol=2e-2)
+    np.testing.assert_allclose(vmod, direct, atol=1.6e-2 * peak, rtol=2e-2)
+
+
 def test_pooled_twin_matches_pool2x2(lab):
     """pooled=True emits (P@S) @ mag @ (S@P) — real-arithmetic equal to
     2x2-pooling the full-res energies; float drift is reduction-order only."""
