@@ -69,7 +69,10 @@ _HB = 16  # image rows per sub-tile = one bf16 sublane tile of (h, w)
 # block, so processing T sub-tiles per step reuses the same weights and
 # issues the same dots in the same order — bitwise-identical labels and
 # partial sums — while cutting grid steps (and their fixed per-step cost)
-# by T. Module global so experiments can re-sweep.
+# by T. Module global so experiments can re-sweep. NOTE: read at TRACE
+# time inside the jitted passes and not part of any jit key — a sweep MUST
+# call jax.clear_caches() after each flip or it silently re-measures the
+# stale trace (exp_nc_sweep.py shows the pattern for the sibling knobs).
 _T_SUB_OVERRIDE: Optional[int] = None
 
 

@@ -270,8 +270,15 @@ def _slic_all_kernel(
         labels_ref[0, t] = (rb[t] * gw + local).reshape(8, band_px // 8)
 
 
-# one image's packed pixel buffer must fit VMEM for the all-iterations form
-_SLIC_FUSE_BYTES = 24 * 2**20
+# Whole-image all-iterations gate, sized from the MEASURED VMEM peak, not
+# from the packed buffer alone: at config3 shape the ~8 MB packed buffer
+# compiled to a 102.5 MB Mosaic peak (the statically-unrolled per-band
+# bodies don't share stack slots, so band intermediates stack up with image
+# area) — a ~13x packed->peak ratio. Against the 116 MB vmem_limit_bytes
+# below, packed buffers past ~8.5 MB risk Mosaic compile failure where the
+# launch-per-pass banded loop works fine, so the gate caps at 8.5 MB and
+# larger frames fall through to the banded loop (advisor finding r2).
+_SLIC_FUSE_BYTES = int(8.5 * 2**20)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

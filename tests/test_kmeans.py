@@ -298,3 +298,38 @@ def test_multigrid_mid_levels_fused_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(fused_c[i]), np.asarray(xla_c), rtol=2e-5, atol=2e-5
         )
+
+
+def test_coarse_fused_all_matches_blocked(rng):
+    """The bf16-gated whole-warmup kernel (_coarse_all_kernel: maximin
+    seeding + ALL coarse Lloyd passes in ONE launch — the config1
+    82.1->90.7 win) vs the blocked launch-per-pass path it replaces,
+    forced via _COARSE_FUSE_BYTES=0 + a jit-cache clear (the gate is read
+    at trace time). Advisor-r2 coverage gap: every other CPU kmeans test
+    runs f32, which never takes the fused-all path. Reduction geometry
+    differs (one m_pad-wide dot vs per-block partials summed in XLA), so
+    centers match to f32-accumulation tolerance, not bitwise."""
+    import jax.numpy as jnp
+
+    import gabor_color_image_segmentation_tpu.models.kmeans_pallas as kp
+
+    k, d, m, b = 5, 11, 2048, 2
+    dp, m_pad, _ = kp.xt_geometry(m, d, jnp.bfloat16)
+    xp = np.zeros((b, dp, m_pad), np.float32)
+    for i in range(b):
+        xb, _ = _blobs(rng, n=m, k=k, d=d)
+        xp[i, :d, :m] = xb.T
+        xp[i, d, :m] = 1.0  # ones-row: update sums double as counts
+    xp = jnp.asarray(xp, jnp.bfloat16)
+
+    fused = np.asarray(kp.kmeans_coarse_centers_xp(xp, k, d, m, 7))
+    old = kp._COARSE_FUSE_BYTES
+    try:
+        kp._COARSE_FUSE_BYTES = 0  # force the blocked launch-per-pass form
+        kp.kmeans_coarse_centers_xp.clear_cache()
+        blocked = np.asarray(kp.kmeans_coarse_centers_xp(xp, k, d, m, 7))
+    finally:
+        kp._COARSE_FUSE_BYTES = old
+        kp.kmeans_coarse_centers_xp.clear_cache()
+    assert fused.shape == blocked.shape == (b, k, d)
+    np.testing.assert_allclose(fused, blocked, rtol=1e-3, atol=1e-3)

@@ -19,7 +19,7 @@ import sys
 import pytest
 
 # ~80% of the 2026-08-18/19 measurements at the iters=50 bench methodology
-# (122.8 / 80.5 / 58.9 / 51.4 / 110.1): tight enough to catch a real
+# (169.9 / 90.7 / 58.9 / 53.5 / 110.1): tight enough to catch a real
 # regression, loose enough for tunnel jitter.
 _FLOORS = {
     "config0": 135.0,

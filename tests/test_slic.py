@@ -189,9 +189,14 @@ def test_fused_all_matches_banded_loop(small_mosaic):
     old = sp._SLIC_FUSE_BYTES
     try:
         sp._SLIC_FUSE_BYTES = 0  # force the banded launch-per-pass form
+        # the gate is read at TRACE time: without clearing the jit cache the
+        # second call would reuse the first call's executable and compare
+        # the kernel against itself
+        sp.slic_fused.clear_cache()
         banded = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
     finally:
         sp._SLIC_FUSE_BYTES = old
+        sp.slic_fused.clear_cache()
     assert (fused_all == banded).all()
 
 
