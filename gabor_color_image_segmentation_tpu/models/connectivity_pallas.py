@@ -352,10 +352,14 @@ def enforce_connectivity_fused(
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # the unrolled prefix-doubling chains keep ~35 (328, 512) i32
+            # the unrolled prefix-doubling chains keep ~35 (H, W) i32
             # temporaries live across the fixpoint bodies — well past the
             # 16 MB default scoped-vmem stack, comfortably inside the
-            # chip's 128 MiB VMEM (same treatment as the Lloyd kernels)
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # chip's 128 MiB VMEM (same treatment as the Lloyd kernels).
+            # 110 MB admits config4's pooled 4K grid (540x960 measured
+            # 104.96 MB — the _ok_chains masks dominate: 2 axes x 2 dirs x
+            # ~10 prefix-doubling steps of (H, W) i32); the cap is an
+            # allowance, not an allocation, so small shapes are unaffected.
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(labels.astype(jnp.int32))

@@ -258,14 +258,21 @@ def ncut_segment(
     )
 
 
-@partial(jax.jit, static_argnums=(2,))
 def graph_segment_batch(
     features: jnp.ndarray, lab: jnp.ndarray, cfg: PipelineConfig
 ) -> jnp.ndarray:
     """(B,H,W,D) features + (B,H,W,3) Lab -> (B,H,W) int32 region labels.
 
     SLIC runs batched (fused banded Pallas kernel on TPU — models/
-    slic_pallas.py); the n-cut stage vmaps over images."""
+    slic_pallas.py); the n-cut stage vmaps over images.
+
+    Deliberately NOT jitted: every production caller invokes it inside the
+    jitted ``segment_batch``, and a nested ``jax.jit`` with static dataclass
+    args trips a jax-0.9.0 dispatch bug — after another static variant of
+    the OUTER function has run, the second execution of a variant fails
+    with "Execution supplied 1 buffers but compiled program expected 13
+    buffers" (minimized 2026-08-19: removing this decorator alone fixes
+    it). Standalone callers should wrap it in their own jit."""
     g = cfg.graph
     if g.cut == "ncut":
         from gabor_color_image_segmentation_tpu.models.slic import grid_shape

@@ -168,7 +168,13 @@ def kmeans(
         new = step(centers)
         return i + 1, new, jnp.any(new != centers)
 
-    _, centers, _ = lax.while_loop(cond, body, (jnp.int32(0), centers0, True))
+    # init flag is data-derived (always True) rather than a literal: under
+    # shard_map on a multi-axis mesh the body's flag is VARYING over the
+    # other mesh axes whenever x is, and while_loop requires the init
+    # carry's vma type to match (parallel/tiled_graph.py runs this solver
+    # replicated inside the distributed cut chain)
+    true0 = jnp.any(centers0 == centers0)
+    _, centers, _ = lax.while_loop(cond, body, (jnp.int32(0), centers0, true0))
     labels = jnp.argmin(_assign_scores(x_mm, centers, dtype), axis=1).astype(
         jnp.int32
     )

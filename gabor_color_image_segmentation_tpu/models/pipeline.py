@@ -30,10 +30,10 @@ def _color_transform(rgb: jnp.ndarray, color_space: str) -> jnp.ndarray:
     return rgb.astype(jnp.float32)
 
 
-def compute_features(
+def compute_energies(
     rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
-) -> jnp.ndarray:
-    """(B,H,W,3) sRGB -> (B,H,W,D) standardized pixel features."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B,H,W,3) sRGB -> ((B,H,W,E) Gabor energies, (B,H,W,3) color)."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     color = _color_transform(rgb, cfg.color_space)
     impl = cfg.feature_impl
@@ -74,7 +74,28 @@ def compute_features(
         energies = gabor_energies_tiled(color, bank, dtype, cfg.tile_hw, fn)
     else:
         energies = fn(color, bank, dtype)
+    return energies, color
+
+
+def compute_features(
+    rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
+) -> jnp.ndarray:
+    """(B,H,W,3) sRGB -> (B,H,W,D) standardized pixel features."""
+    energies, color = compute_energies(rgb, cfg, bank)
     return assemble_features(energies, color, cfg.cluster)
+
+
+def _pool2x2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H//2,W//2,C) exact 2x2 block means — the ordered f32
+    sum of models/kmeans.py::pool2x2 (((x00+x01)+(x10+x11))*0.25, cast back),
+    mirrored bit-for-bit by golden/graph pooling."""
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    g = x[:, : 2 * h2, : 2 * w2].reshape(b, h2, 2, w2, 2, c).astype(jnp.float32)
+    s = (g[:, :, 0, :, 0] + g[:, :, 0, :, 1]) + (
+        g[:, :, 1, :, 0] + g[:, :, 1, :, 1]
+    )
+    return (0.25 * s).astype(x.dtype)
 
 
 def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
@@ -93,6 +114,7 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
         and cfg.cluster.method in ("kmeans", "gmm")
         and not cfg.graph.enabled
         and cfg.cluster.subsample == 1
+        and cfg.cluster.feature_set == "full"
         and cfg.bank.gamma == 1.0
         and cfg.feature_impl in ("auto", "pallas")
         and (cfg.tile_hw is None or (h <= cfg.tile_hw[0] and w <= cfg.tile_hw[1]))
@@ -306,10 +328,6 @@ def segment_batch(
     b, h, w, _ = rgb.shape
     if not with_features and _can_segment_transposed(cfg, h, w):
         return _segment_batch_transposed(rgb, cfg, bank), None
-    with jax.named_scope("features"):
-        feats = compute_features(rgb, cfg, bank)
-    d = feats.shape[-1]
-    flat = feats.reshape(b, h * w, d)
 
     if cfg.graph.enabled:
         # the graph stage replaces the pixel-cluster labels wholesale, so
@@ -319,11 +337,37 @@ def segment_batch(
             graph_segment_batch,
         )
 
-        with jax.named_scope("graph_cut"):
-            labels = graph_segment_batch(
-                feats, _color_transform(rgb, "lab"), cfg
+        p = cfg.graph.pool
+        if p and (h % (1 << p) or w % (1 << p)):
+            raise ValueError(
+                f"graph.pool={p} needs H, W divisible by {1 << p}, got {h}x{w}"
             )
+        with jax.named_scope("features"):
+            # energies are computed at FULL resolution (filtering a pooled
+            # image is not the same operator), then pooled by exact block
+            # means BEFORE assembly so standardization moments are measured
+            # on the grid the graph stage actually clusters
+            energies, color = compute_energies(rgb, cfg, bank)
+            same = cfg.color_space == "lab"
+            lab = color if same else _color_transform(rgb, "lab")
+            for _ in range(p):
+                energies = _pool2x2_nhwc(energies)
+                color = _pool2x2_nhwc(color)
+                lab = color if same else _pool2x2_nhwc(lab)
+            feats = assemble_features(energies, color, cfg.cluster)
+        with jax.named_scope("graph_cut"):
+            labels = graph_segment_batch(feats, lab, cfg)
+        if p:
+            f = 1 << p
+            labels = jnp.repeat(jnp.repeat(labels, f, axis=1), f, axis=2)
+        # with pool > 0 the returned features are the POOLED grid's —
+        # the tensor the graph stage actually consumed
         return labels, (feats if with_features else None)
+
+    with jax.named_scope("features"):
+        feats = compute_features(rgb, cfg, bank)
+    d = feats.shape[-1]
+    flat = feats.reshape(b, h * w, d)
 
     kmeans_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     if cfg.cluster.method == "kmeans":
@@ -423,9 +467,22 @@ def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None
     )
     from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_batch
 
-    feats = jax.jit(lambda b: compute_features(b, cfg, bank))(rgb)
-    lab = jax.jit(lambda b: _color_transform(b, "lab"))(rgb)
-    gh, gw, _ = grid_shape(rgb.shape[1], rgb.shape[2], g.n_superpixels)
+    p = g.pool
+
+    def prep(b):
+        # same pooled-graph input rule as the jitted ncut branch above
+        energies, color = compute_energies(b, cfg, bank)
+        same = cfg.color_space == "lab"
+        lab = color if same else _color_transform(b, "lab")
+        for _ in range(p):
+            energies = _pool2x2_nhwc(energies)
+            color = _pool2x2_nhwc(color)
+            lab = color if same else _pool2x2_nhwc(lab)
+        return assemble_features(energies, color, cfg.cluster), lab
+
+    feats, lab = jax.jit(prep)(jnp.asarray(rgb))
+    hp, wp = rgb.shape[1] >> p, rgb.shape[2] >> p
+    gh, gw, _ = grid_shape(hp, wp, g.n_superpixels)
     sp = jax.jit(
         lambda l: enforce_connectivity_device(
             slic_batch(l, g.n_superpixels, g.slic_compactness, g.slic_iters,
@@ -441,4 +498,6 @@ def segment_images(rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank = None
             for i in range(rgb.shape[0])
         ]
     )
+    if p:
+        out = out.repeat(1 << p, axis=1).repeat(1 << p, axis=2)
     return jnp.asarray(out)

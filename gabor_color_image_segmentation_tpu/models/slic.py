@@ -185,7 +185,12 @@ def _run_extreme(
     return out
 
 
-_RUN_BIG = jnp.int32(2**30)
+# plain int, NOT jnp.int32: a module-level jax.Array gets captured as a
+# trace constant, and under shard_map jax 0.9 stamps the capturing mesh
+# onto its aval — reusing it under a different mesh (the multichip dryrun
+# runs a 1-D then a 2-D mesh in one process) then fails with "context mesh
+# ... should match the aval mesh" (same rule as connectivity_pallas._BIG)
+_RUN_BIG = 2**30
 
 
 def _pass_extreme(
@@ -315,12 +320,18 @@ def enforce_connectivity_device(
 
     kept = lab >= 0
 
+    # guarded at h + w steps (same rule as connectivity_pallas.py): any
+    # absorbed pixel is within that L1 distance of a kept one whenever a
+    # survivor exists, so the cap never fires on normal inputs (bit-equal);
+    # in the all-absorbed degenerate case (e.g. pure noise, every component
+    # below min_size) nothing is adoptable and an unguarded loop spins
+    # forever — leftovers clamp to id 0 instead. golden mirrors the rule.
     def cond(state):
-        _, kept = state
-        return ~jnp.all(kept)
+        _, kept, t = state
+        return (~jnp.all(kept)) & (t < h + w)
 
     def body(state):
-        lab, kept = state
+        lab, kept, t = state
         cand = lab
         have = jnp.zeros_like(kept)
         # reverse priority order so the first-listed neighbor wins the where
@@ -330,9 +341,9 @@ def enforce_connectivity_device(
             cand = jnp.where(nk, nl, cand)
             have = have | nk
         adopt = (~kept) & have
-        return jnp.where(adopt, cand, lab), kept | adopt
-    lab, _ = lax.while_loop(cond, body, (lab, kept))
-    return lab
+        return jnp.where(adopt, cand, lab), kept | adopt, t + 1
+    lab, _, _ = lax.while_loop(cond, body, (lab, kept, jnp.int32(0)))
+    return jnp.maximum(lab, 0)
 
 
 def enforce_connectivity(labels: np.ndarray, min_size: int | None = None) -> np.ndarray:

@@ -57,21 +57,35 @@ _CAND = 128  # candidate window, one MXU lane tile
 
 
 def _plan(h: int, w: int, n_superpixels: int):
-    """Static banding plan; returns None when the fused path is ineligible."""
+    """Static banding plan; returns None when the fused path is ineligible.
+
+    The candidate window is ``w_rows`` consecutive grid rows. A band of
+    ``band_rows`` pixel rows spans floor((y0+br-1)*gh/h) - floor(y0*gh/h)
+    + 1 <= floor((br-1)*gh/h) + 2 cell rows, and every pixel needs its
+    cell_y +- 1 inside the window, so span + 2 <= w_rows. w_rows = 5 (the
+    original plan, taller bands) is tried first; when 5*gw exceeds the
+    128-lane window (e.g. config4's pooled 4K grid: gh=15, gw=27), w_rows
+    = 4 with bands shorter than one cell height keeps the same exact
+    9-candidate rule eligible — the mask admits the identical candidate
+    set either way, so labels are bit-equal across plans."""
     gh, gw, s = grid_shape(h, w, n_superpixels)
-    w_rows = min(5, gh)
-    if w_rows * gw > _CAND:
+    w_rows = band_rows = None
+    for wr in (5, 4):
+        wr = min(wr, gh)
+        if wr * gw > _CAND:
+            continue
+        if gh > wr:
+            # span <= wr - 2  <=>  floor((br-1)*gh/h) <= wr - 4, i.e.
+            # (band_rows - 1) * gh < (wr - 3) * h
+            br = 32
+            while br > 1 and (br - 1) * gh >= (wr - 3) * h:
+                br -= 1
+        else:
+            br = 32  # window covers the whole grid
+        w_rows, band_rows = wr, br
+        break
+    if w_rows is None:
         return None
-    if gh >= 5:
-        # band must keep every pixel's cell_y +- 1 inside the 5-row window:
-        # rows y0..y0+band_rows-1 span floor((y0+br-1)*gh/h) - floor(y0*gh/h)
-        # + 1 <= floor((br-1)*gh/h) + 2 cell rows; need span <= 3, i.e.
-        # (band_rows - 1) * gh < 2 * h
-        band_rows = 32
-        while band_rows > 1 and (band_rows - 1) * gh >= 2 * h:
-            band_rows -= 1
-    else:
-        band_rows = 32  # window covers the whole grid
     wp = -(-w // 128) * 128
     n_bands = -(-h // band_rows)
     hp = n_bands * band_rows

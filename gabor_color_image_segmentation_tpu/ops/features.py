@@ -160,15 +160,27 @@ def assemble_features(
     user multiplier on top of that balance (same rule in golden/features.py).
 
     energies: (B,H,W,E), color: (B,H,W,3) -> (B,H,W,E+3) float32.
+
+    ``cluster_cfg.feature_set`` ablates one cue: "color" drops the energy
+    block entirely (color-only clustering, unit scale), "texture" drops the
+    color block. "full" is bit-identical to the pre-knob behavior.
     """
+    fs = getattr(cluster_cfg, "feature_set", "full")
+    if fs == "color":
+        energies = energies[..., :0]
+    elif fs == "texture":
+        color = color[..., :0]
+    elif fs != "full":
+        raise ValueError(f"unknown feature_set {fs!r}")
     out_dtype = energies.dtype if energies.dtype == jnp.bfloat16 else jnp.float32
     feats = jnp.concatenate(
         [energies.astype(out_dtype), color.astype(out_dtype)], axis=-1
     )
     e = energies.shape[-1]
-    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
+    nc = color.shape[-1]
+    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0)) if e else 1.0
     scale = jnp.concatenate(
-        [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
+        [jnp.ones((e,), jnp.float32), jnp.full((nc,), cw, jnp.float32)]
     )
     if cluster_cfg.normalize:
         # moments accumulate in f32 regardless of the storage dtype. One-pass

@@ -17,6 +17,10 @@ mesh axis via ``shard_map``. Structure per device:
      distributed analog of the single-chip solver, bitwise-consistent across
      mesh shapes up to float reduction order. Init is a deterministic global
      maximin seeded via all-gathered local candidates.
+  4. **Graph-cut chain** (``cfg.graph.enabled`` — BASELINE config 4's
+     filter→cluster→CUT form): distributed SLIC + connectivity enforcement
+     + psum'd superpixel stats + replicated spectral n-cut, implemented in
+     ``parallel/tiled_graph.py`` and entered through ``_graph_strip_fn``.
 
 Edge devices reflect-pad locally (matching the single-device REFLECT_101
 border), interior edges use true neighbor rows, so a tiled run equals the
@@ -67,20 +71,20 @@ def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarra
     return jnp.concatenate([top, x, bot], axis=0)
 
 
-def _strip_features(
+def _strip_energies(
     rgb_strip: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
     axis_name: str,
-) -> jnp.ndarray:
-    """(rows, W, 3) sRGB strip -> (rows, W, D) standardized features, BITWISE
-    equal to the untiled path's rows (tests/test_tiling.py pins exactness).
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(rows, W, 3) sRGB strip -> ((rows, W, E) energies, (rows, W, 3)
+    color), BITWISE equal to the untiled path's rows (tests/test_tiling.py
+    pins exactness).
 
     Two-level halo exchange: (1) input rows (conv radius) -> per-group
     DC-corrected magnitudes of the OWNED rows, with plane-wave phases in
     GLOBAL row coordinates (a strip-local origin differs from the untiled
     values by float rounding of the phase shift); (2) magnitude rows
     (smoothing radius) -> smoothing, with true borders reflecting the
-    magnitude map exactly like the untiled run. Feature standardization
-    uses psum'd global moments."""
+    magnitude map exactly like the untiled run."""
     from gabor_color_image_segmentation_tpu.models.pipeline import _color_transform
     from gabor_color_image_segmentation_tpu.ops.modulated import (
         modulated_group_magnitudes,
@@ -110,8 +114,15 @@ def _strip_features(
             )[0]
         )
         off += e
-    energies = jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1), color
 
+
+def _standardize_strip(
+    energies: jnp.ndarray, color: jnp.ndarray, cfg: PipelineConfig,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Assemble + standardize strip features with psum'd GLOBAL moments —
+    the distributed mirror of ops/features.py::assemble_features."""
     feats = jnp.concatenate([energies, color], axis=-1)
     if cfg.cluster.normalize:
         cnt = feats.shape[0] * feats.shape[1]
@@ -128,6 +139,42 @@ def _strip_features(
         [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
     )
     return feats * scale
+
+
+def _strip_features(
+    rgb_strip: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
+    axis_name: str,
+) -> jnp.ndarray:
+    """(rows, W, 3) sRGB strip -> (rows, W, D) standardized features (see
+    _strip_energies for the exactness contract)."""
+    energies, color = _strip_energies(rgb_strip, cfg, bank, axis_name)
+    return _standardize_strip(energies, color, cfg, axis_name)
+
+
+def _strip_graph_inputs(
+    rgb_strip: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
+    axis_name: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed mirror of the pipeline's pooled graph-branch inputs
+    (models/pipeline.py::segment_batch, graph.enabled): full-res strip
+    energies, pooled ``graph.pool`` times by strip-local 2x2 block means
+    (strip heights divisible by 2^pool keep every block inside one strip,
+    so pooling is bitwise the untiled pooling), standardized on the pooled
+    grid with psum'd moments. Returns ((rows_p, W_p, D) feats,
+    (rows_p, W_p, 3) pooled Lab)."""
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _color_transform,
+        _pool2x2_nhwc,
+    )
+
+    energies, color = _strip_energies(rgb_strip, cfg, bank, axis_name)
+    same = cfg.color_space == "lab"
+    lab = color if same else _color_transform(rgb_strip, "lab")
+    for _ in range(cfg.graph.pool):
+        energies = _pool2x2_nhwc(energies[None])[0]
+        color = _pool2x2_nhwc(color[None])[0]
+        lab = color if same else _pool2x2_nhwc(lab[None])[0]
+    return _standardize_strip(energies, color, cfg, axis_name), lab
 
 
 def _global_maximin(x: jnp.ndarray, k: int, axis_name: str) -> jnp.ndarray:
@@ -212,6 +259,38 @@ def kmeans_sharded(
 
 
 
+def _graph_strip_fn(
+    rgb_strip: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
+    h: int, w: int, axis_name: str, sync_axes=None,
+) -> jnp.ndarray:
+    """Per-strip filter->CUT chain (BASELINE config 4's missing leg):
+    halo'd strip energies -> pooled standardized features -> distributed
+    SLIC + connectivity + psum'd superpixel stats + replicated n-cut
+    (parallel/tiled_graph.py) -> local 2^pool upsample."""
+    from gabor_color_image_segmentation_tpu.parallel.tiled_graph import (
+        graph_cut_strip,
+    )
+
+    p = cfg.graph.pool
+    feats, lab = _strip_graph_inputs(rgb_strip, cfg, bank, axis_name)
+    labels = graph_cut_strip(
+        feats, lab, cfg, h >> p, axis_name, sync_axes=sync_axes
+    )
+    if p:
+        f = 1 << p
+        labels = jnp.repeat(jnp.repeat(labels, f, axis=0), f, axis=1)
+    return labels.astype(jnp.int32)
+
+
+def _check_graph_strip(rows: int, w: int, cfg: PipelineConfig) -> None:
+    p = cfg.graph.pool
+    if p and (rows % (1 << p) or w % (1 << p)):
+        raise ValueError(
+            f"graph.pool={p} needs strip rows and W divisible by {1 << p}, "
+            f"got {rows}x{w} strips"
+        )
+
+
 def _check_strip(rows: int, bank: GaborBank, axis_name: str) -> None:
     """Single-hop ppermute needs strips taller than each exchange's halo.
     Two-level exchange relaxes the old (conv + smooth) bound to
@@ -241,9 +320,13 @@ def segment_tiled(
     n_dev = mesh.shape[axis_name]
     assert h % n_dev == 0, f"H={h} must divide over {n_dev} devices"
     _check_strip(h // n_dev, bank, axis_name)
+    if cfg.graph.enabled:
+        _check_graph_strip(h // n_dev, w, cfg)
 
     def local_fn(rgb_strip):
         # rgb_strip: (rows, W, 3) uint8/float
+        if cfg.graph.enabled:
+            return _graph_strip_fn(rgb_strip, cfg, bank, h, w, axis_name)
         feats = _strip_features(rgb_strip, cfg, bank, axis_name)
         rows = feats.shape[0]
         labels, _ = kmeans_sharded(
@@ -274,14 +357,24 @@ def tiled_batch_fn(
     """Jitted BASELINE-config-4 segmenter over a 2-D batch x space mesh.
     Exposed (like ``sharding.make_sharded_fn``) so the driver dryrun can
     ``.lower().compile()`` it and count the collectives in the HLO —
-    expected: 2 collective-permutes (halo ring), psums for moments + Lloyd,
-    only tiny (n_dev, D)-sized all-gathers from the maximin seeding."""
+    expected: 2 collective-permutes (halo ring), psums for moments + Lloyd
+    (and, with the graph stage enabled, the SLIC/connectivity/superpixel-
+    stat psums + seam-row permutes of parallel/tiled_graph.py), only tiny
+    (n_dev, D)-sized all-gathers from the maximin seeding."""
     from jax import shard_map
 
     def per_image(rgb_strip):
-        w = rgb_strip.shape[1]
+        rows, w, _ = rgb_strip.shape
+        if cfg.graph.enabled:
+            n_s = mesh.shape[space_axis]
+            # convergence flags sync over BOTH mesh axes so every space
+            # group runs its data-dependent fixpoint loops the same number
+            # of times (see tiled_graph._psum_any)
+            return _graph_strip_fn(
+                rgb_strip, cfg, bank, rows * n_s, w, space_axis,
+                sync_axes=(batch_axis, space_axis),
+            )
         feats = _strip_features(rgb_strip, cfg, bank, space_axis)
-        rows = feats.shape[0]
         labels, _ = kmeans_sharded(
             feats.reshape(rows * w, -1),
             cfg.cluster.k,
@@ -325,4 +418,6 @@ def segment_tiled_batch(
     assert b % n_b == 0, f"B={b} must divide over {n_b} batch shards"
     assert h % n_s == 0, f"H={h} must divide over {n_s} space shards"
     _check_strip(h // n_s, bank, space_axis)
+    if cfg.graph.enabled:
+        _check_graph_strip(h // n_s, w, cfg)
     return tiled_batch_fn(cfg, bank, mesh, batch_axis, space_axis)(rgb)

@@ -87,6 +87,11 @@ def assemble_features_np(
     cluster_cfg: ClusterConfig,
     eps: float = 1e-6,
 ) -> np.ndarray:
+    fs = getattr(cluster_cfg, "feature_set", "full")
+    if fs == "color":  # ablation knob — mirrors ops/features.py
+        energies = energies[..., :0]
+    elif fs == "texture":
+        color = color[..., :0]
     feats = np.concatenate(
         [energies.astype(np.float32), color.astype(np.float32)], axis=-1
     )
@@ -102,9 +107,9 @@ def assemble_features_np(
     e = energies.shape[-1]
     # equal-total-variance balance of energy vs color blocks; see
     # ops/features.py assemble_features docstring (shared contract)
-    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
+    cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0)) if e else 1.0
     scale = np.concatenate(
-        [np.ones((e,), np.float32), np.full((3,), cw, np.float32)]
+        [np.ones((e,), np.float32), np.full((color.shape[-1],), cw, np.float32)]
     )
     return feats * scale
 

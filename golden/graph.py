@@ -101,7 +101,11 @@ def enforce_connectivity_golden(
     lab = newid[comp].astype(np.int32)  # -1 on absorbed fragments
     kept = lab >= 0
 
-    while not kept.all():
+    t = 0
+    # h + w step guard, mirroring the device passes: never fires when any
+    # survivor exists; all-absorbed degenerate inputs clamp to id 0
+    while not kept.all() and t < h + w:
+        t += 1
         cand = lab.copy()
         have = np.zeros_like(kept)
 
@@ -123,7 +127,7 @@ def enforce_connectivity_golden(
         adopt = (~kept) & have
         lab = np.where(adopt, cand, lab)
         kept = kept | adopt
-    return lab
+    return np.maximum(lab, 0)
 
 
 def ncut_golden(
@@ -167,3 +171,49 @@ def ncut_golden(
     emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
     regions, _ = kmeans_golden(emb.astype(np.float32), n_regions, n_iter=30)
     return regions[lab_flat].reshape(h, w).astype(np.int32)
+
+
+def pool2x2_img_np(x: np.ndarray) -> np.ndarray:
+    """(H, W, C) -> (H//2, W//2, C) exact 2x2 block means, the same ordered
+    f32 sum as models/pipeline.py::_pool2x2_nhwc (((x00+x01)+(x10+x11))/4)."""
+    h2, w2 = x.shape[0] // 2, x.shape[1] // 2
+    g = x[: 2 * h2, : 2 * w2].astype(np.float32)
+    s = (g[0::2, 0::2] + g[0::2, 1::2]) + (g[1::2, 0::2] + g[1::2, 1::2])
+    return 0.25 * s
+
+
+def graph_inputs_golden(
+    rgb: np.ndarray,
+    bank_cfg,
+    cluster_cfg,
+    pool: int = 0,
+    color_space: str = "lab",
+    bank=None,
+):
+    """Golden mirror of the pipeline's graph-branch inputs
+    (models/pipeline.py::segment_batch, graph.enabled): full-resolution
+    golden energies + color, 2x2-mean-pooled ``pool`` times BEFORE
+    assembly (standardization moments measured on the pooled grid).
+    Returns ((Hp, Wp, D) standardized feats, (Hp, Wp, 3) pooled Lab)."""
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from golden.features import (
+        assemble_features_np,
+        gabor_energies_golden,
+        rgb_to_lab_np,
+    )
+
+    if bank is None:
+        bank = make_bank(bank_cfg)
+    if color_space == "lab":
+        img = rgb_to_lab_np(rgb)
+    else:
+        img = rgb.astype(np.float32)
+        if rgb.dtype == np.uint8:
+            img = img / 255.0
+    energies = gabor_energies_golden(img, bank)
+    lab = img if color_space == "lab" else rgb_to_lab_np(rgb)
+    for _ in range(pool):
+        energies = pool2x2_img_np(energies)
+        img = pool2x2_img_np(img)
+        lab = img if color_space == "lab" else pool2x2_img_np(lab)
+    return assemble_features_np(energies, img, cluster_cfg), lab

@@ -205,3 +205,54 @@ def test_resolve_graph_impls_dtype_aware():
 
     g_forced = dataclasses.replace(g, slic_impl="fused", eig_method="subspace")
     assert resolve_graph_impls(g_forced, "float32") == ("fused", "subspace")
+
+
+def test_graph_pool_pipeline_matches_golden(small_mosaic):
+    """graph.pool=1 (the config4 multirate cut stage): the jitted pooled
+    chain — full-res energies pooled by exact block means BEFORE assembly,
+    SLIC + connectivity + n-cut on the pooled grid, 2x nearest upsample —
+    vs the golden mirror of the identical schedule."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.config import preset
+    from gabor_color_image_segmentation_tpu.models.pipeline import segment_image
+    from gabor_color_image_segmentation_tpu.models.slic import grid_shape
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from golden.graph import (
+        enforce_connectivity_golden,
+        graph_inputs_golden,
+        slic_golden,
+    )
+
+    rgb, gt = small_mosaic  # 96 x 128
+    cfg = preset("config3").replace(feature_impl="modulated")
+    cfg = cfg.replace(
+        graph=dataclasses.replace(
+            cfg.graph, n_superpixels=64, n_regions=4, pool=1
+        )
+    )
+    bank = make_bank(cfg.bank)
+    labels, _ = segment_image(jnp.asarray(rgb), cfg, bank)
+    labels = np.asarray(labels)
+    assert labels.shape == rgb.shape[:2]
+    # upsampled labels are constant on 2x2 blocks by construction
+    assert (labels[0::2, 0::2] == labels[1::2, 1::2]).all()
+    assert (labels[0::2, 0::2] == labels[0::2, 1::2]).all()
+
+    feats_g, lab_g = graph_inputs_golden(rgb, cfg.bank, cfg.cluster, pool=1)
+    hp, wp = rgb.shape[0] // 2, rgb.shape[1] // 2
+    sp = slic_golden(
+        lab_g, 64, cfg.graph.slic_compactness, cfg.graph.slic_iters
+    )
+    gh, gw, _ = grid_shape(hp, wp, 64)
+    sp = enforce_connectivity_golden(sp, gh * gw)
+    gold = ncut_golden(feats_g, sp, 4, n_sp=gh * gw)
+    gold = gold.repeat(2, axis=0).repeat(2, axis=1)
+    aligned = align_labels(labels, gold)
+    agree = (aligned == gold).mean()
+    assert agree > 0.95, f"pooled graph vs golden agreement {agree}"
+
+    pri = pri_np(labels, [gt])
+    assert pri > 0.7, f"pooled graph PRI {pri}"

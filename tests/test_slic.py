@@ -291,3 +291,29 @@ def test_fused_connectivity_on_slic_output(small_mosaic):
     a = np.asarray(enforce_connectivity_device(jnp.asarray(sp), gh * gw))
     b = np.asarray(enforce_connectivity_fused(jnp.asarray(sp), gh * gw))
     assert (a == b).all(), f"{(a != b).sum()} differing pixels"
+
+
+def test_fused_w_rows4_plan(small_mosaic):
+    """Shapes where 5 grid rows exceed the 128-lane window (config4's
+    pooled 4K grid: gh=15, gw=27) fall back to a 4-row window with bands
+    shorter than one cell height — same exact 9-candidate rule, so
+    agreement with the exact XLA path matches the usual bf16x3 level."""
+    import jax.numpy as jnp
+
+    import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
+
+    # config3's plan is unchanged by the w_rows=4 extension
+    p = sp._plan(321, 481, 400)
+    assert (p["w_rows"], p["band_rows"]) == (5, 32)
+    # config4's pooled grid becomes eligible (was None before the extension)
+    p2 = sp._plan(540, 960, 400)
+    assert p2 is not None and p2["w_rows"] == 4 and p2["gw"] == 27
+
+    rgb, _ = small_mosaic  # 96 x 128; n_sp=588 -> gw=28: 5 rows > 128 lanes
+    lab = rgb_to_lab_np(rgb)
+    p3 = sp._plan(96, 128, 588)
+    assert p3 is not None and p3["w_rows"] == 4
+    plain = np.asarray(slic(jnp.asarray(lab), 588, 10.0, 5))
+    fused = np.asarray(sp.slic_fused(jnp.asarray(lab)[None], 588, 10.0, 5))[0]
+    agree = (plain == fused).mean()
+    assert agree > 0.99, f"w_rows=4 fused SLIC agreement {agree}"
