@@ -50,7 +50,7 @@ def bench(cfg, batch, iters=20):
 
 if __name__ == "__main__":
     print(jax.default_backend(), jax.devices())
-    base = preset("config4")
+    base = preset("config4").replace(dtype="bfloat16")  # bench default
     for batch_n in (4, 5):
         batch = build_batch(base, batch_n)
         for pool in (2,):

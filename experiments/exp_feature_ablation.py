@@ -63,21 +63,27 @@ def main():
 
     base = preset("config0").replace(image_hw=(H, W))
     rows = []
-    for fset in ("full", "color", "texture"):
+    variants = [
+        ("full", "static"), ("color", "static"), ("texture", "static"),
+        ("full", "coherence"), ("color", "coherence"),
+    ]
+    for fset, cue in variants:
         cfg = base.replace(
-            cluster=dataclasses.replace(base.cluster, feature_set=fset)
+            cluster=dataclasses.replace(
+                base.cluster, feature_set=fset, cue_weight=cue
+            )
         )
         for split, (imgs, gts) in splits.items():
             pri, f = eval_config(cfg, imgs, gts)
-            rows.append((fset, split, pri, f))
+            rows.append((fset, cue, split, pri, f))
             print(
-                f"feature_set={fset:8s} split={split:14s} "
+                f"feature_set={fset:8s} cue={cue:9s} split={split:14s} "
                 f"PRI={pri:.4f} F={f:.4f}", flush=True,
             )
-    print("\n| feature_set | split | mean PRI | mean F |")
-    print("|---|---|---|---|")
-    for fset, split, pri, f in rows:
-        print(f"| {fset} | {split} | {pri:.4f} | {f:.4f} |")
+    print("\n| feature_set | cue_weight | split | mean PRI | mean F |")
+    print("|---|---|---|---|---|")
+    for fset, cue, split, pri, f in rows:
+        print(f"| {fset} | {cue} | {split} | {pri:.4f} | {f:.4f} |")
 
 
 if __name__ == "__main__":

@@ -177,6 +177,21 @@ class ClusterConfig:
     # Implemented in the NHWC assembly + golden mirror; the transposed/CHW
     # fast paths require "full" and fall back otherwise.
     feature_set: str = "full"
+    # Cue weighting of the standardized feature dims:
+    #   "static"    — the classic equal-total-variance balance only.
+    #   "coherence" — additionally weight each dim by its REGION-SCALE
+    #     coherence: std(8x8 block means)/std (per image, per dim). Raw
+    #     color channels on texture-dominated images carry the high-freq
+    #     oscillation itself (high variance, locally uninformative); block
+    #     means cancel it while region-level signal survives, so
+    #     uninformative dims shrink instead of being standardized UP.
+    #     Measured (exp_feature_ablation.py, 12-image splits): texture-only
+    #     split PRI 0.63 -> 0.89 (the static balance drowned the Gabor
+    #     energies in raw-oscillation color variance); standard split PRI
+    #     -0.005 (noise), boundary-F 0.21 -> 0.30. NHWC path + golden
+    #     mirror + tiled strips; the transposed/CHW fast paths require
+    #     "static" and fall back otherwise.
+    cue_weight: str = "static"
     gmm_reg_covar: float = 1e-4
     # EM early exit: stop when the mean log-likelihood improves by < gmm_tol
     # (sklearn GaussianMixture.tol semantics, mirrored in golden). 0 = run

@@ -88,13 +88,18 @@ def compute_features(
 def _pool2x2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     """(B,H,W,C) -> (B,H//2,W//2,C) exact 2x2 block means — the ordered f32
     sum of models/kmeans.py::pool2x2 (((x00+x01)+(x10+x11))*0.25, cast back),
-    mirrored bit-for-bit by golden/graph pooling."""
-    b, h, w, c = x.shape
-    h2, w2 = h // 2, w // 2
-    g = x[:, : 2 * h2, : 2 * w2].reshape(b, h2, 2, w2, 2, c).astype(jnp.float32)
-    s = (g[:, :, 0, :, 0] + g[:, :, 0, :, 1]) + (
-        g[:, :, 1, :, 0] + g[:, :, 1, :, 1]
-    )
+    mirrored bit-for-bit by golden/graph pooling.
+
+    Strided slices of the ORIGINAL-dtype tensor, cast per-operand: a
+    reshape-then-astype form materialized a full-resolution f32 copy of the
+    energies (21 GB at config4's 4K batch-5 — measured HBM OOM); with the
+    casts appearing per slice XLA fuses them into the adds."""
+    h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+    g = x[:, : 2 * h2, : 2 * w2]
+    f32 = jnp.float32
+    s = (
+        g[:, 0::2, 0::2].astype(f32) + g[:, 0::2, 1::2].astype(f32)
+    ) + (g[:, 1::2, 0::2].astype(f32) + g[:, 1::2, 1::2].astype(f32))
     return (0.25 * s).astype(x.dtype)
 
 
@@ -115,6 +120,7 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
         and not cfg.graph.enabled
         and cfg.cluster.subsample == 1
         and cfg.cluster.feature_set == "full"
+        and cfg.cluster.cue_weight == "static"
         and cfg.bank.gamma == 1.0
         and cfg.feature_impl in ("auto", "pallas")
         and (cfg.tile_hw is None or (h <= cfg.tile_hw[0] and w <= cfg.tile_hw[1]))

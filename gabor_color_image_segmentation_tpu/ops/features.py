@@ -194,10 +194,40 @@ def assemble_features(
         )
         var = jnp.maximum(sq - jnp.square(mean), 0.0)
         std = jnp.sqrt(var)
-        return (
-            (feats.astype(jnp.float32) - mean) / (std + eps) * scale
-        ).astype(out_dtype)
-    return (feats.astype(jnp.float32) * scale).astype(out_dtype)
+        out = (feats.astype(jnp.float32) - mean) / (std + eps) * scale
+    else:
+        out = feats.astype(jnp.float32) * scale
+    if getattr(cluster_cfg, "cue_weight", "static") == "coherence":
+        out = out * coherence_weights(out, eps)
+    return out.astype(out_dtype)
+
+
+_COH_BLOCK = 8  # coherence pooling window (pixels per side)
+
+
+def coherence_weights(feats: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """(B, H, W, D) -> (B, 1, 1, D) per-image region-scale coherence weights:
+    std of 8x8 block means over std (ClusterConfig.cue_weight docstring;
+    golden mirror: golden/features.py::coherence_weights_np). Identity when
+    the image is too small to pool (< 2 blocks per side)."""
+    b, h, w, d = feats.shape
+    n = _COH_BLOCK
+    hb, wb = h // n, w // n
+    if hb < 2 or wb < 2:
+        return jnp.ones((b, 1, 1, d), jnp.float32)
+    f = feats[:, : hb * n, : wb * n].astype(jnp.float32)
+    p = jnp.mean(f.reshape(b, hb, n, wb, n, d), axis=(2, 4))
+    pm = jnp.mean(p, axis=(1, 2), keepdims=True)
+    pv = jnp.maximum(
+        jnp.mean(jnp.square(p), axis=(1, 2), keepdims=True) - jnp.square(pm),
+        0.0,
+    )
+    fm = jnp.mean(f, axis=(1, 2), keepdims=True)
+    fv = jnp.maximum(
+        jnp.mean(jnp.square(f), axis=(1, 2), keepdims=True) - jnp.square(fm),
+        0.0,
+    )
+    return jnp.sqrt(pv) / (jnp.sqrt(fv) + eps)
 
 
 def assemble_features_t(

@@ -122,7 +122,9 @@ def _standardize_strip(
     axis_name: str,
 ) -> jnp.ndarray:
     """Assemble + standardize strip features with psum'd GLOBAL moments —
-    the distributed mirror of ops/features.py::assemble_features."""
+    the distributed mirror of ops/features.py::assemble_features
+    (including the optional cue_weight="coherence" region-scale weights,
+    whose 8x8 block means stay strip-local when rows % 8 == 0)."""
     feats = jnp.concatenate([energies, color], axis=-1)
     if cfg.cluster.normalize:
         cnt = feats.shape[0] * feats.shape[1]
@@ -138,7 +140,33 @@ def _standardize_strip(
     scale = jnp.concatenate(
         [jnp.ones((e,), jnp.float32), jnp.full((3,), cw, jnp.float32)]
     )
-    return feats * scale
+    feats = feats * scale
+    if cfg.cluster.cue_weight == "coherence":
+        rows, w, d = feats.shape
+        n = 8
+        if rows % n:
+            raise ValueError(
+                f"cue_weight='coherence' needs strip rows % {n} == 0, got {rows}"
+            )
+        hb, wb = rows // n, w // n
+        f = feats[:, : wb * n].astype(jnp.float32)
+        p = jnp.mean(f.reshape(hb, n, wb, n, d), axis=(1, 3))
+        nb = lax.psum(hb * wb, axis_name)
+        pm = lax.psum(jnp.sum(p, axis=(0, 1)), axis_name) / nb
+        pv = jnp.maximum(
+            lax.psum(jnp.sum(jnp.square(p), axis=(0, 1)), axis_name) / nb
+            - jnp.square(pm),
+            0.0,
+        )
+        nf = lax.psum(f.shape[0] * f.shape[1], axis_name)
+        fm = lax.psum(jnp.sum(f, axis=(0, 1)), axis_name) / nf
+        fv = jnp.maximum(
+            lax.psum(jnp.sum(jnp.square(f), axis=(0, 1)), axis_name) / nf
+            - jnp.square(fm),
+            0.0,
+        )
+        feats = feats * (jnp.sqrt(pv) / (jnp.sqrt(fv) + 1e-6))
+    return feats
 
 
 def _strip_features(

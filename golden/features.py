@@ -111,7 +111,26 @@ def assemble_features_np(
     scale = np.concatenate(
         [np.ones((e,), np.float32), np.full((color.shape[-1],), cw, np.float32)]
     )
-    return feats * scale
+    feats = feats * scale
+    if getattr(cluster_cfg, "cue_weight", "static") == "coherence":
+        feats = feats * coherence_weights_np(feats, eps)
+    return feats
+
+
+def coherence_weights_np(feats: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Numpy mirror of ops/features.py::coherence_weights — per-dim
+    std(8x8 block means)/std over the same cropped region, one-pass
+    E[x^2]-mu^2 variances (f64 accumulate)."""
+    h, w, d = feats.shape
+    n = 8
+    hb, wb = h // n, w // n
+    if hb < 2 or wb < 2:
+        return np.ones((1, 1, d), np.float32)
+    f = feats[: hb * n, : wb * n].astype(np.float64)
+    p = f.reshape(hb, n, wb, n, d).mean(axis=(1, 3))
+    pv = np.maximum((p * p).mean((0, 1)) - p.mean((0, 1)) ** 2, 0.0)
+    fv = np.maximum((f * f).mean((0, 1)) - f.mean((0, 1)) ** 2, 0.0)
+    return (np.sqrt(pv) / (np.sqrt(fv) + eps)).astype(np.float32)[None, None]
 
 
 def features_golden(

@@ -136,3 +136,44 @@ def test_assemble_pooled_matches_pool_of_normalized(small_mosaic):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
     assert (np.asarray(xp)[0, d, :m] == 1.0).all()
     assert (np.asarray(xp)[0, :, m:] == 0.0).all()
+
+
+def test_feature_set_and_coherence_golden(small_mosaic):
+    """feature_set ablation + cue_weight="coherence" match the golden
+    mirror; "full"/"static" is bit-identical to the pre-knob behavior."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.config import ClusterConfig, preset
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        compute_features,
+    )
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from golden.features import features_golden
+
+    rgb, _ = small_mosaic
+    cfg = preset("config0").replace(feature_impl="modulated")
+    bank = make_bank(cfg.bank)
+    for fset, cue in (
+        ("full", "static"), ("color", "static"), ("texture", "static"),
+        ("full", "coherence"),
+    ):
+        cc = dataclasses.replace(cfg.cluster, feature_set=fset, cue_weight=cue)
+        ours = np.asarray(
+            compute_features(jnp.asarray(rgb)[None], cfg.replace(cluster=cc),
+                             bank)
+        )[0]
+        gold = features_golden(rgb, cfg.bank, cc, bank=bank)
+        assert ours.shape == gold.shape, (fset, cue, ours.shape, gold.shape)
+        scale = np.abs(gold).max()
+        err = np.abs(ours - gold).max() / scale
+        assert err < 2e-3, f"{fset}/{cue}: rel err {err}"
+    # dims: color-only = 3, texture-only = E, full = E + 3
+    e = bank.n_kernels * 3
+    cc = dataclasses.replace(cfg.cluster, feature_set="color")
+    f_c = compute_features(jnp.asarray(rgb)[None], cfg.replace(cluster=cc), bank)
+    assert f_c.shape[-1] == 3
+    cc = dataclasses.replace(cfg.cluster, feature_set="texture")
+    f_t = compute_features(jnp.asarray(rgb)[None], cfg.replace(cluster=cc), bank)
+    assert f_t.shape[-1] == e

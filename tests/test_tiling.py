@@ -1,6 +1,8 @@
 """Spatial tiling + halo exchange + distributed k-means on the fake
 8-device CPU mesh (SURVEY.md §4.4): tiled result == untiled result."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -125,7 +127,9 @@ def test_tiled_equals_untiled(mesh8):
 
     aligned = align_labels(tiled, untiled)
     agree = (aligned == untiled).mean()
-    assert agree > 0.999, f"tiled-vs-untiled agreement {agree}"
+    # tightened from 0.999 after the flip decomposition (PARITY.md: zero
+    # flips on every measured seed; exp_tiled_parity.py)
+    assert agree > 0.9999, f"tiled-vs-untiled agreement {agree}"
 
 
 def test_tiled_on_two_devices(mesh8):
@@ -416,3 +420,62 @@ def test_2d_mesh_batch_space_graph():
         if (aligned == untiled).mean() > 0.999:
             exact += 1
     assert exact >= 3, f"only {exact}/4 images match the untiled cut chain"
+
+
+@pytest.mark.skipif(
+    os.environ.get("GCIS_SLOW_TESTS") != "1",
+    reason="representative-geometry multichip validation is slow "
+    "(full config1 bank on the fake mesh) — set GCIS_SLOW_TESTS=1",
+)
+def test_tiled_real_config1_bank_geometry(mesh8):
+    """VERDICT r2 missing #3: multichip validation at REPRESENTATIVE
+    geometry. Runs the REAL config1 bank (8 orientations x 5 scales x 2
+    frequencies, conv radius 15 / smoothing radius 24) through the tiled
+    path on the fake 8-device mesh at near-BSDS size, where halo-vs-strip
+    failures would actually appear — the regular dryrun uses a 2-kernel toy
+    bank."""
+    cfg = preset("config1").replace(feature_impl="modulated")
+    bank = make_bank(cfg.bank)
+    h, w = 320, 480  # strips of 40 rows > the 24-row max halo
+    assert bank.max_conv_radius == 15 and bank.max_smooth_radius == 24
+    assert max(bank.max_conv_radius, bank.max_smooth_radius) < h // 8
+    rgb, gt = synthetic_mosaic(h=h, w=w, n_regions=5, seed=77)
+
+    tiled = np.asarray(segment_tiled(rgb, cfg, bank, mesh8))
+    untiled, _ = segment_image(rgb, cfg, bank)
+    untiled = np.asarray(untiled)
+    aligned = align_labels(tiled, untiled)
+    agree = (aligned == untiled).mean()
+    assert agree > 0.999, f"real-bank tiled-vs-untiled agreement {agree}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("GCIS_SLOW_TESTS") != "1",
+    reason="config4-representative cut-chain geometry is slow — "
+    "set GCIS_SLOW_TESTS=1",
+)
+def test_tiled_cut_chain_config4_geometry(mesh8):
+    """The cut chain at config4-REPRESENTATIVE pooled geometry: strips tall
+    enough that graph.pool=2 blocks stay strip-local (rows % 4 == 0, the
+    production config4 pooling depth), the pooled SLIC grid spanning many
+    strips, connectivity components crossing every seam."""
+    import dataclasses
+
+    cfg = preset("config4").replace(
+        feature_impl="modulated", image_hw=(384, 256)
+    )
+    cfg = cfg.replace(
+        graph=dataclasses.replace(
+            cfg.graph, enabled=True, n_superpixels=96, n_regions=5, pool=2
+        )
+    )
+    bank = make_bank(cfg.bank)
+    rgb, _ = synthetic_mosaic(h=384, w=256, n_regions=5, seed=78)
+    assert (384 // 8) % 4 == 0  # 48-row strips, pool=2 blocks strip-local
+
+    tiled = np.asarray(segment_tiled(rgb, cfg, bank, mesh8))
+    untiled, _ = segment_image(rgb, cfg, bank)
+    untiled = np.asarray(untiled)
+    aligned = align_labels(tiled, untiled)
+    agree = (aligned == untiled).mean()
+    assert agree > 0.999, f"config4-geometry cut chain agreement {agree}"
