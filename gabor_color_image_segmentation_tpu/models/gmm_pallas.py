@@ -93,16 +93,17 @@ def _em_kernel(
     bias_ref,  # (1, k*Dp, 1) f32 stacked A_j @ mu_j
     const_ref,  # (1, _KP, 1) f32 per-component log w + logdet - D/2 log2pi
     labels_ref,  # (1, 1, 1, block) int32
-    ll_ref,  # (1, 1, 1, 1) f32 partial sum of log-likelihood
+    ll_ref,  # (1, 1, 1, 1) f32 partial sum of log-likelihood (moments only)
     covst_ref,  # (1, 1, Dp, k*Dp) f32 partial TRANSPOSED scatter: row i,
     #             col j*Dp+i' = sum_l x_i resp_j x_i' — the ones-row (i=d)
     #             doubles as the resp-weighted sums + counts, so no separate
-    #             msums dot is issued
+    #             msums dot is issued (moments only)
     *,
     k: int,
     dp: int,
     block: int,
     n_rows: int,
+    moments: bool = True,
 ):
     i = pl.program_id(1)
     xt = xt_ref[0]  # (Dp, block)
@@ -121,6 +122,12 @@ def _em_kernel(
 
     labels = jnp.argmax(lp, axis=0, keepdims=True).astype(jnp.int32)
     labels_ref[0, 0] = labels
+    if not moments:
+        # label-only E-step: the final fit_predict pass consumes nothing
+        # but the argmax, so the resp softmax and the (Dp, block) @
+        # (block, k*Dp) M-step scatter — HALF the pass's MXU work — are
+        # never issued. Scores/labels identical to the full pass.
+        return
 
     m = jnp.max(lp, axis=0, keepdims=True)  # (1, block)
     ex = jnp.where(sub < k, jnp.exp(lp - m), 0.0)
@@ -173,9 +180,9 @@ def _em_kernel(
     covst_ref[0, 0] = ct
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool,
-             d: int = None):
+             d: int = None, moments: bool = True):
     """One fused E+M pass. Returns (labels (B, n_pad), ll (B,),
     msums (B, _KP, Dp), covs (B, k, Dp, Dp)) — moments already nb-reduced.
 
@@ -183,13 +190,48 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool,
     resp-weighted sums are read off that row of the transposed scatter
     output. None (compat default for moment-less callers) reads the last
     row, which only differs when dp > d + 1 — pass it whenever the msums
-    output is consumed."""
+    output is consumed.
+
+    ``moments=False``: label-only E-step — skips the resp softmax, the
+    log-likelihood and the M-step scatter dot inside the kernel (about
+    half its MXU issue) and returns (labels, None, None, None). Labels are
+    bit-identical to the full pass (same scores, same argmax)."""
     b, dp, n_pad = xt.shape
     nb = n_pad // block
     n_passes = 3 if xt.dtype == jnp.float32 else 2  # _split_dot pass count
     kernel = functools.partial(
-        _em_kernel, k=k, dp=dp, block=block, n_rows=n
+        _em_kernel, k=k, dp=dp, block=block, n_rows=n, moments=moments
     )
+    if not moments:
+        labels = pl.pallas_call(
+            # single output ref; the kernel returns before ll/covst writes
+            lambda xr, ar, br, cr, lr: kernel(xr, ar, br, cr, lr, None, None),
+            grid=(b, nb),
+            in_specs=[
+                pl.BlockSpec((1, dp, block), lambda bi, i: (bi, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k * dp, dp), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k * dp, 1), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _KP, 1), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, block),
+                                   lambda bi, i: (bi, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nb, 1, block), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * b * n_pad * dp * dp * k * n_passes) // 2,
+                bytes_accessed=int(xt.dtype.itemsize * b * n_pad * dp),
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xt, a, bias, const)
+        return labels.reshape(b, n_pad), None, None, None
     labels, ll, covst = pl.pallas_call(
         kernel,
         grid=(b, nb),
@@ -456,7 +498,8 @@ def gmm_fused_t_xt(
         params = _moments_to_params(msums, covs, d, n, k, reg_covar)
 
     a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
-    labels, _, _, _ = _em_pass(xt, a, bias, const, k, block, n, interpret)
+    labels, _, _, _ = _em_pass(xt, a, bias, const, k, block, n, interpret,
+                               moments=False)
     return labels[:, :n]
 
 

@@ -54,6 +54,9 @@ from gabor_color_image_segmentation_tpu.models.slic import grid_shape
 _C = 8  # z channels: [L, a, b, sw*y, sw*x, 1, 0, 0]
 _ONES_COL = 5
 _CAND = 128  # candidate window, one MXU lane tile
+_PEN = 5e29  # per-axis additive penalty for out-of-window candidates (f32
+# scores are ~1e5 at most, so one axis violation already dominates; two
+# violations sum to 2e30, far under f32 max)
 
 
 def _plan(h: int, w: int, n_superpixels: int):
@@ -113,14 +116,47 @@ def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
-def _band_assign(zp, cand, rb, t, *, h, w, wp, gh, gw, w_rows, band_px,
+def _pen_geometry(gw: int, w_rows: int):
+    """Pen-block row layout: [okY (w_rows); okX (gw); valid (1); zero pad]."""
+    pr = -(-(w_rows + gw + 1) // 8) * 8
+    return pr, w_rows + gw  # (total rows, valid-row index)
+
+
+def _build_cpen(gw: int, w_rows: int, pr: int) -> jnp.ndarray:
+    """(_CAND, pr) bf16 candidate-side penalty coefficients (static iota
+    arithmetic — built inside the kernels so pallas_call sees no captured
+    array constant). Candidate j pairs -_PEN/-2 with its own okY row j//gw
+    and okX row w_rows + j%gw; lane-padding rows j >= w_rows*gw get zero
+    coefficients (their zero centroids score 0 - see _band_assign note)."""
+    ncr = w_rows * gw
+    j = jax.lax.broadcasted_iota(jnp.int32, (_CAND, pr), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (_CAND, pr), 1)
+    own_y = r == j // gw
+    own_x = r == w_rows + (j - (j // gw) * gw)
+    hit = (own_y | own_x) & (j < ncr)
+    # scores subtract 2*cross, so the coefficient is -_PEN/2 for +_PEN
+    return jnp.where(hit, jnp.float32(-_PEN / 2.0), 0.0).astype(jnp.bfloat16)
+
+
+def _band_assign(zp, cand, penb, cpen, *, w_rows, gw, band_px,
                  want_psums: bool):
     """Shared band-assignment math of the per-band and whole-image kernels.
 
     zp: (3*_C, band_px) bf16 packed pixels of band t; cand: (_CAND, _C) f32
-    candidate centroids; rb: the band's first candidate grid row (traced
-    scalar or static int). Returns (local labels (band_px,) int32, psums
-    (_CAND, _C) f32 or None).
+    candidate centroids; penb: (pr, band_px) bf16 penalty rows of band t
+    (iteration-invariant ±1-cell window masks, precomputed on the XLA side
+    — see slic_fused); cpen: (_CAND, pr) bf16 from _build_cpen. Returns
+    (local labels (band_px,) int32, psums (_CAND, _C) f32 or None).
+
+    The 3x3-cell candidate mask is folded into the scores as a BILINEAR
+    penalty: okY/okX are rank-(w_rows+gw) factors of the old
+    (_CAND, band_px) boolean mask, so one extra small MXU dot replaces the
+    per-pass VPU mask arithmetic (iota, |Δcell| compares, the big where) —
+    that VPU work was the measured bottleneck of the fused SLIC (BASELINE
+    config3 note). Valid candidates pair with EXACT-zero penalty entries,
+    and x + 0.0 == x in the f32 MXU accumulator, so their scores — and the
+    argmin tie-breaks — are bit-identical to the masked-where form this
+    replaces (pinned by tests/test_slic.py).
     """
     csq = jnp.sum(cand * cand, axis=1)  # (_CAND,) f32 exact
     # Precision: TPU DEFAULT f32 dots round inputs to bf16, and the +-0.4%
@@ -138,29 +174,16 @@ def _band_assign(zp, cand, rb, t, *, h, w, wp, gh, gw, w_rows, band_px,
         c_pack, zp, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (_CAND, band_px)
-    scores = csq[:, None] - 2.0 * cross
-
-    # pixel coordinates from the flat padded index
-    p = t * band_px + jax.lax.broadcasted_iota(jnp.int32, (1, band_px), 1)
-    y = p // wp
-    x = p - y * wp
-    cell_y = jnp.clip((y.astype(jnp.float32) * (gh / h)).astype(jnp.int32), 0, gh - 1)
-    cell_x = jnp.clip((x.astype(jnp.float32) * (gw / w)).astype(jnp.int32), 0, gw - 1)
-    # candidate grid coordinates
-    j = jax.lax.broadcasted_iota(jnp.int32, (_CAND, 1), 0)
-    gyy = rb + j // gw
-    gxx = j - (j // gw) * gw
-    ok = (
-        (jnp.abs(gyy - cell_y) <= 1)
-        & (jnp.abs(gxx - cell_x) <= 1)
-        & (j < w_rows * gw)
-    )  # (_CAND, band_px)
-    scores = jnp.where(ok, scores, jnp.float32(3.4e38))
+    pen = jax.lax.dot_general(
+        cpen, penb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (_CAND, band_px): 0 for in-window candidates, >= _PEN outside
+    scores = csq[:, None] - 2.0 * (cross + pen)
     local = jnp.argmin(scores, axis=0).astype(jnp.int32)  # (band_px,)
     if not want_psums:
         return local, None
 
-    valid = ((y < h) & (x < w)).astype(jnp.bfloat16)  # (1, band_px)
+    valid = penb[w_rows + gw : w_rows + gw + 1]  # (1, band_px) bf16 0/1
     onehot = (
         local[None, :] == jax.lax.broadcasted_iota(jnp.int32, (_CAND, band_px), 0)
     ).astype(jnp.bfloat16) * valid  # 0/1 — bf16-exact
@@ -176,23 +199,22 @@ def _band_assign(zp, cand, rb, t, *, h, w, wp, gh, gw, w_rows, band_px,
 def _slic_kernel(
     zp_ref,  # (1, 3*_C, band_px) bf16 — PACKED pixels [z_hi; z_lo; z_hi]
     cand_ref,  # (1, 1, _CAND, _C) f32 — candidate centroids (weighted, ones-col)
+    pen_ref,  # (pr, band_px) bf16 — penalty rows of band t (batch-shared)
     rb_ref,  # (n_bands, 1) int32 SMEM — first candidate grid row per band
     labels_ref,  # (1, 1, 8, band_px // 8) int32 — global ids, row-major view
     psums_ref,  # (1, 1, _CAND, _C) f32 — per-band partial sums
     *,
-    h: int,
-    w: int,
-    wp: int,
-    gh: int,
     gw: int,
     w_rows: int,
     band_px: int,
+    pr: int,
 ):
     t = pl.program_id(1)
     rb = rb_ref[t, 0]
+    cpen = _build_cpen(gw, w_rows, pr)
     local, psums = _band_assign(
-        zp_ref[0], cand_ref[0, 0], rb, t, h=h, w=w, wp=wp, gh=gh, gw=gw,
-        w_rows=w_rows, band_px=band_px, want_psums=True,
+        zp_ref[0], cand_ref[0, 0], pen_ref[...], cpen,
+        w_rows=w_rows, gw=gw, band_px=band_px, want_psums=True,
     )
     labels_ref[0, 0] = (rb * gw + local).reshape(8, band_px // 8)
     psums_ref[0, 0] = psums
@@ -201,12 +223,9 @@ def _slic_kernel(
 def _slic_all_kernel(
     zp_ref,  # (1, 3*_C, Np) bf16 — the WHOLE packed image, VMEM-resident
     cw0_ref,  # (1, S_pad, _C) f32 — initial weighted centroids
+    pen_ref,  # (pr, Np) bf16 — penalty rows, whole image (batch-shared)
     labels_ref,  # (1, n_bands, 8, band_px // 8) int32
     *,
-    h: int,
-    w: int,
-    wp: int,
-    gh: int,
     gw: int,
     w_rows: int,
     band_px: int,
@@ -215,6 +234,7 @@ def _slic_all_kernel(
     n_iter: int,
     n_sp: int,
     s_pad: int,
+    pr: int,
 ):
     """All SLIC Lloyd iterations in ONE launch, centroids chained
     in-register. Per-band scores/tie-breaks/sums are _band_assign, shared
@@ -224,14 +244,14 @@ def _slic_all_kernel(
     launch-per-pass form (TPU-verified on the eval batch).
 
     Measured 2026-08-19 (config3 batch-8, TPU v5 lite): 9.51 -> 9.01
-    ms/op. The modest win is itself a finding: SLIC's cost is NOT launch
+    ms/op. The modest win was itself a finding: SLIC's cost is NOT launch
     overhead or DMA — it is the in-kernel VPU work on the (128, band_px)
-    candidate window (iteration-invariant cell masks recomputed per pass,
-    the 128-way argmin, the one-hot build), which this fusion does not
-    change. A bigger win needs a narrower candidate window or rank-1
-    mask factorization, not fewer launches."""
+    candidate window. That window's mask arithmetic is now factorized into
+    the penalty dot (see _band_assign), which removed the per-pass VPU mask
+    build entirely."""
     f32 = jnp.float32
     ncr = w_rows * gw
+    cpen = _build_cpen(gw, w_rows, pr)
 
     def cand_window(cw, lo):  # rows [lo, lo+ncr) padded to _CAND
         win = cw[lo : lo + ncr]
@@ -247,9 +267,10 @@ def _slic_all_kernel(
             lo = rb[t] * gw
             cand = cand_window(cw, lo)
             zpb = zp_ref[0, :, t * band_px : (t + 1) * band_px]
+            penb = pen_ref[:, t * band_px : (t + 1) * band_px]
             _, ps = _band_assign(
-                zpb, cand, rb[t], t, h=h, w=w, wp=wp, gh=gh, gw=gw,
-                w_rows=w_rows, band_px=band_px, want_psums=True,
+                zpb, cand, penb, cpen,
+                w_rows=w_rows, gw=gw, band_px=band_px, want_psums=True,
             )
             # Mosaic has no scatter-add: pad the band's rows to the full
             # table with zero rows and add — same band order, same f32
@@ -277,9 +298,10 @@ def _slic_all_kernel(
         lo = rb[t] * gw
         cand = cand_window(cw, lo)
         zpb = zp_ref[0, :, t * band_px : (t + 1) * band_px]
+        penb = pen_ref[:, t * band_px : (t + 1) * band_px]
         local, _ = _band_assign(
-            zpb, cand, rb[t], t, h=h, w=w, wp=wp, gh=gh, gw=gw,
-            w_rows=w_rows, band_px=band_px, want_psums=False,
+            zpb, cand, penb, cpen,
+            w_rows=w_rows, gw=gw, band_px=band_px, want_psums=False,
         )
         labels_ref[0, t] = (rb[t] * gw + local).reshape(8, band_px // 8)
 
@@ -340,6 +362,32 @@ def slic_fused(
     z_lo = (z_cf - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     z_pack = jnp.concatenate([z_hi, z_lo, z_hi], axis=1)  # (B, 3*_C, Np) bf16
 
+    # batch-shared penalty rows (see _band_assign): okY depends on the
+    # band's static rb (via p // band_px), okX and the valid row only on
+    # the pixel position — all iteration-invariant, built once here. The
+    # cell formulas mirror the old in-kernel mask arithmetic verbatim.
+    pr, _valid_row = _pen_geometry(gw, w_rows)
+    p_flat = jnp.arange(hp * wp, dtype=jnp.int32)
+    y_f = p_flat // wp
+    x_f = p_flat - y_f * wp
+    cell_y = jnp.clip(
+        (y_f.astype(jnp.float32) * (gh / h)).astype(jnp.int32), 0, gh - 1
+    )
+    cell_x = jnp.clip(
+        (x_f.astype(jnp.float32) * (gw / w)).astype(jnp.int32), 0, gw - 1
+    )
+    rb_p = jnp.asarray(rb)[p_flat // band_px]  # (Np,) first window row
+    rows_y = rb_p[None, :] + jnp.arange(w_rows, dtype=jnp.int32)[:, None]
+    pen_y = (jnp.abs(rows_y - cell_y[None, :]) > 1).astype(jnp.bfloat16)
+    cols_x = jnp.arange(gw, dtype=jnp.int32)[:, None]
+    pen_x = (jnp.abs(cols_x - cell_x[None, :]) > 1).astype(jnp.bfloat16)
+    valid = ((y_f < h) & (x_f < w)).astype(jnp.bfloat16)[None, :]
+    pen = jnp.concatenate(
+        [pen_y, pen_x, valid,
+         jnp.zeros((pr - w_rows - gw - 1, hp * wp), jnp.bfloat16)],
+        axis=0,
+    )  # (pr, Np)
+
     # initial centroids at cell centers (same formulas as models/slic.py)
     cy = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
     cx = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * (w / gw)
@@ -360,8 +408,7 @@ def slic_fused(
 
     rb_dev = jnp.asarray(rb).reshape(n_bands, 1)
     kernel = functools.partial(
-        _slic_kernel, h=h, w=w, wp=wp, gh=gh, gw=gw, w_rows=w_rows,
-        band_px=band_px,
+        _slic_kernel, gw=gw, w_rows=w_rows, band_px=band_px, pr=pr,
     )
     interpret = jax.default_backend() != "tpu"
     n_cand_rows = w_rows * gw
@@ -373,9 +420,9 @@ def slic_fused(
         s_pad = -(-n_sp // 8) * 8
         cw0_pad = jnp.pad(cw0, ((0, 0), (0, s_pad - n_sp), (0, 0)))
         all_kernel = functools.partial(
-            _slic_all_kernel, h=h, w=w, wp=wp, gh=gh, gw=gw, w_rows=w_rows,
+            _slic_all_kernel, gw=gw, w_rows=w_rows,
             band_px=band_px, n_bands=n_bands, rb=tuple(int(r) for r in rb),
-            n_iter=n_iter, n_sp=n_sp, s_pad=s_pad,
+            n_iter=n_iter, n_sp=n_sp, s_pad=s_pad, pr=pr,
         )
         labels = pl.pallas_call(
             all_kernel,
@@ -384,6 +431,8 @@ def slic_fused(
                 pl.BlockSpec((1, 3 * _C, hp * wp), lambda bi: (bi, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, s_pad, _C), lambda bi: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pr, hp * wp), lambda bi: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -407,7 +456,7 @@ def slic_fused(
                 vmem_limit_bytes=116 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(z_pack, cw0_pad)
+        )(z_pack, cw0_pad, pen)
         return labels.reshape(b, n_bands * band_rows, wp)[:, :h, :w]
 
     def gather_cands(cw):  # (B, S, _C) -> (B, n_bands, _CAND, _C)
@@ -428,6 +477,8 @@ def slic_fused(
                 pl.BlockSpec((1, 3 * _C, band_px), lambda bi, t: (bi, 0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, _CAND, _C), lambda bi, t: (bi, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pr, band_px), lambda bi, t: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_bands, 1), lambda bi, t: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -451,7 +502,7 @@ def slic_fused(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(z_pack, cands, rb_dev)
+        )(z_pack, cands, pen, rb_dev)
 
         def scatter(ps):  # (n_bands, _CAND, _C) -> (S, _C)
             g = jnp.zeros((n_sp, _C), jnp.float32)
