@@ -127,6 +127,97 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
     )
 
 
+def segment_chw_grouped(
+    color: jnp.ndarray,
+    energies_cm,
+    pooled_e,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Relayout-free CHW kmeans on precomputed grouped energy buffers.
+
+    color: (B, H, W, 3) Lab/RGB; energies_cm: tuple of per-scale-group
+    (B, E_g, H, W) channel-major buffers exactly as the fused feature kernel
+    emits them (gabor_energies_fused(grouped=True)); pooled_e: the matching
+    2x2-mean twins (B, E_g, H//2, W//2), or None to skip the multigrid
+    warmup. Extracted from the production transposed path so experiments
+    (e.g. decimated large-sigma groups, exp_decimated.py) can feed custom
+    buffers through the identical solver schedule.
+
+    The fused Lloyd consumes the kernel's CHW output directly
+    (models/kmeans_chw.py) — no xt buffer, no (H, W) -> N relayout, labels
+    written in 2-D layout. Measured ~25 ms/batch-16 faster than the xt
+    assembly at config1 scale.
+    """
+    from gabor_color_image_segmentation_tpu.models.kmeans_chw import (
+        _affine_params,
+        build_color4,
+        kmeans_fused_chw,
+    )
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        kmeans_coarse_centers_xp,
+        xt_geometry,
+    )
+    from gabor_color_image_segmentation_tpu.ops.features import (
+        _pool2x2_cm,
+        assemble_xp_from_affine,
+    )
+
+    _, h, w, _ = color.shape
+    dtype = energies_cm[0].dtype
+    lvl = cfg.cluster.coarse_levels
+    multigrid = pooled_e is not None
+    with jax.named_scope("assemble"):
+        xc4 = build_color4(color, dtype)
+        affine = _affine_params(energies_cm, xc4, cfg.cluster, 1e-6)
+    c0 = None
+    if multigrid:
+        # multigrid warmup in the xt layout: the pooled buffer is 1/4
+        # the data (1/16 at coarse_levels=2), so its one-time lane
+        # relayout is cheap, and an xt Lloyd pass runs at the HBM floor
+        # (~0.36 ms at config1 scale, 4x less again per extra level)
+        # vs ~1.7 ms for the block-diagonal CHW pooled pass. Refinement
+        # stays relayout-free in the CHW layout below. Deeper coarse
+        # grids pool the kernel's 2x2 twin with the exact MXU pooling
+        # matmuls (2x2 means of 2x2 means = 4x4 means; golden mirrors).
+        e = sum(g.shape[1] for g in energies_cm)
+        pe_l, pc_l, hc, wc = pooled_e, _pool2x2_cm(xc4), h // 2, w // 2
+        levels = [(pe_l, pc_l)]  # CHW pooled twins, finest first
+        for _ in range(lvl - 1):
+            pe_l = tuple(_pool2x2_cm(g) for g in pe_l)
+            pc_l = _pool2x2_cm(pc_l)
+            hc, wc = hc // 2, wc // 2
+            levels.append((pe_l, pc_l))
+        m = hc * wc
+        dp, m_pad, _ = xt_geometry(m, e + 3, dtype)
+        with jax.named_scope("assemble_xp"):
+            xp = assemble_xp_from_affine(
+                pe_l, pc_l, affine[0], affine[1], dp, m_pad, dtype,
+            )
+        with jax.named_scope("coarse"):
+            c0 = kmeans_coarse_centers_xp(
+                xp, cfg.cluster.k, e + 3, m, cfg.cluster.coarse_iters
+            )
+        if cfg.cluster.mid_iters > 0:
+            # intermediate-level Lloyd on the ALREADY-RESIDENT pooled
+            # CHW twins (ascending), centers-only: each 2x2-level pass
+            # streams 1/4 of a full-res pass, cutting refine_iters —
+            # schedule mirrored by golden/kmeans_golden_multigrid and
+            # the XLA/xt multigrid (experiments/exp_mid_level.py)
+            with jax.named_scope("mid"):
+                for pe_m, pc_m in reversed(levels[:-1]):
+                    _, c0 = kmeans_fused_chw(
+                        pe_m, pc_m, affine, cfg.cluster.k, 0, 0,
+                        cfg.cluster.mid_iters, init_centers=c0,
+                        with_labels=False,
+                    )
+    with jax.named_scope("cluster"):
+        labels, _ = kmeans_fused_chw(
+            energies_cm, xc4, affine, cfg.cluster.k, cfg.cluster.n_iter,
+            0, cfg.cluster.refine_iters, init_centers=c0,
+        )
+    return labels.astype(jnp.int32)
+
+
 def _segment_batch_transposed(
     rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
 ) -> jnp.ndarray:
@@ -171,74 +262,9 @@ def _segment_batch_transposed(
                 color, bank, dtype, channel_major=True
             )
     if chw:
-        # relayout-free path: the fused Lloyd consumes the kernel's CHW
-        # output directly (models/kmeans_chw.py) — no xt buffer, no
-        # (H, W) -> N relayout, labels written in 2-D layout. Measured
-        # ~25 ms/batch-16 faster than the xt assembly at config1 scale.
-        from gabor_color_image_segmentation_tpu.models.kmeans_chw import (
-            _affine_params,
-            build_color4,
-            kmeans_fused_chw,
+        return segment_chw_grouped(
+            color, energies_cm, pooled_e if multigrid else None, cfg
         )
-        from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
-            kmeans_coarse_centers_xp,
-            xt_geometry,
-        )
-        from gabor_color_image_segmentation_tpu.ops.features import (
-            _pool2x2_cm,
-            assemble_xp_from_affine,
-        )
-
-        with jax.named_scope("assemble"):
-            xc4 = build_color4(color, dtype)
-            affine = _affine_params(energies_cm, xc4, cfg.cluster, 1e-6)
-        c0 = None
-        if multigrid:
-            # multigrid warmup in the xt layout: the pooled buffer is 1/4
-            # the data (1/16 at coarse_levels=2), so its one-time lane
-            # relayout is cheap, and an xt Lloyd pass runs at the HBM floor
-            # (~0.36 ms at config1 scale, 4x less again per extra level)
-            # vs ~1.7 ms for the block-diagonal CHW pooled pass. Refinement
-            # stays relayout-free in the CHW layout below. Deeper coarse
-            # grids pool the kernel's 2x2 twin with the exact MXU pooling
-            # matmuls (2x2 means of 2x2 means = 4x4 means; golden mirrors).
-            e = sum(g.shape[1] for g in energies_cm)
-            pe_l, pc_l, hc, wc = pooled_e, _pool2x2_cm(xc4), h // 2, w // 2
-            levels = [(pe_l, pc_l)]  # CHW pooled twins, finest first
-            for _ in range(lvl - 1):
-                pe_l = tuple(_pool2x2_cm(g) for g in pe_l)
-                pc_l = _pool2x2_cm(pc_l)
-                hc, wc = hc // 2, wc // 2
-                levels.append((pe_l, pc_l))
-            m = hc * wc
-            dp, m_pad, _ = xt_geometry(m, e + 3, dtype)
-            with jax.named_scope("assemble_xp"):
-                xp = assemble_xp_from_affine(
-                    pe_l, pc_l, affine[0], affine[1], dp, m_pad, dtype,
-                )
-            with jax.named_scope("coarse"):
-                c0 = kmeans_coarse_centers_xp(
-                    xp, cfg.cluster.k, e + 3, m, cfg.cluster.coarse_iters
-                )
-            if cfg.cluster.mid_iters > 0:
-                # intermediate-level Lloyd on the ALREADY-RESIDENT pooled
-                # CHW twins (ascending), centers-only: each 2x2-level pass
-                # streams 1/4 of a full-res pass, cutting refine_iters —
-                # schedule mirrored by golden/kmeans_golden_multigrid and
-                # the XLA/xt multigrid (experiments/exp_mid_level.py)
-                with jax.named_scope("mid"):
-                    for pe_m, pc_m in reversed(levels[:-1]):
-                        _, c0 = kmeans_fused_chw(
-                            pe_m, pc_m, affine, cfg.cluster.k, 0, 0,
-                            cfg.cluster.mid_iters, init_centers=c0,
-                            with_labels=False,
-                        )
-        with jax.named_scope("cluster"):
-            labels, _ = kmeans_fused_chw(
-                energies_cm, xc4, affine, cfg.cluster.k, cfg.cluster.n_iter,
-                0, cfg.cluster.refine_iters, init_centers=c0,
-            )
-        return labels.astype(jnp.int32)
     e = energies_cm.shape[1]
     dp, n_pad, _ = xt_geometry(h * w, e + 3, dtype)
     multigrid = (
