@@ -3,8 +3,8 @@
 These tests run ONLY when a real TPU backend is attached (the CPU CI suite
 skips them): they assert end-to-end MP/s/chip floors well below the measured
 numbers (BASELINE.md) so genuine regressions trip them but tunnel jitter
-does not. Measured 2026-08-18/19 on v5 lite (iters=50 methodology):
-config0 169.9, config1 90.7, config2 58.9, config3 53.5, config4 110.1.
+does not. Measured 2026-08-18/20 on v5 lite (iters=50 methodology):
+config0 169.9, config1 90.7, config2 61.7, config3 55.4, config4 110.1.
 
 NOTE: tests/conftest.py forces the CPU backend for the rest of the suite;
 this module must re-select the TPU explicitly, so it spawns a subprocess
@@ -18,14 +18,14 @@ import sys
 
 import pytest
 
-# ~80% of the 2026-08-18/19 measurements at the iters=50 bench methodology
-# (169.9 / 90.7 / 58.9 / 53.5 / 110.1): tight enough to catch a real
+# ~80% of the 2026-08-18/20 measurements at the iters=50 bench methodology
+# (169.9 / 90.7 / 61.7 / 55.4 / 110.1): tight enough to catch a real
 # regression, loose enough for tunnel jitter.
 _FLOORS = {
     "config0": 135.0,
     "config1": 72.0,
-    "config2": 46.0,
-    "config3": 42.0,
+    "config2": 49.0,
+    "config3": 44.0,
     "config4": 85.0,
 }
 _AXON = "/root/.axon_site"
