@@ -98,10 +98,29 @@ def _plan(h: int, w: int, n_superpixels: int):
         y0 = t * band_rows
         base = int(y0 * gh / h) - 1
         rb.append(max(0, min(base, gh - w_rows)))
+    # Cell-aligned variable bands for the whole-image fused kernel: band g
+    # = the pixel rows whose cell_y == g (plus trailing pad rows in the
+    # last band), so the candidate window shrinks to w3 = 3 grid rows —
+    # (3*gw, band_px) VPU arrays instead of (128, band_px), the measured
+    # bottleneck of the fused SLIC. cy replicates the kernels' f32 cell_y
+    # arithmetic exactly (same rounding), so the admitted 9-candidate set
+    # per pixel is identical and labels stay bit-equal across plans.
+    w3 = min(3, gh)
+    cy = np.minimum(
+        gh - 1,
+        (np.arange(hp, dtype=np.float32) * np.float32(gh / h)).astype(
+            np.int32
+        ),
+    )
+    ys3 = [0] * (gh + 1)
+    for g in range(1, gh):
+        ys3[g] = int(np.searchsorted(cy, g, side="left"))
+    ys3[gh] = hp
+    rb3 = [max(0, min(g - 1, gh - w3)) for g in range(gh)]
     return dict(
         gh=gh, gw=gw, s=s, w_rows=w_rows, band_rows=band_rows,
         wp=wp, hp=hp, n_bands=n_bands, rb=np.asarray(rb, np.int32),
-        n_sp=gh * gw,
+        n_sp=gh * gw, w3=w3, ys3=tuple(ys3), rb3=tuple(rb3),
     )
 
 
@@ -122,15 +141,15 @@ def _pen_geometry(gw: int, w_rows: int):
     return pr, w_rows + gw  # (total rows, valid-row index)
 
 
-def _build_cpen(gw: int, w_rows: int, pr: int) -> jnp.ndarray:
-    """(_CAND, pr) bf16 candidate-side penalty coefficients (static iota
+def _build_cpen(gw: int, w_rows: int, pr: int, n_cand: int = _CAND) -> jnp.ndarray:
+    """(n_cand, pr) bf16 candidate-side penalty coefficients (static iota
     arithmetic — built inside the kernels so pallas_call sees no captured
     array constant). Candidate j pairs -_PEN/-2 with its own okY row j//gw
     and okX row w_rows + j%gw; lane-padding rows j >= w_rows*gw get zero
     coefficients (their zero centroids score 0 - see _band_assign note)."""
     ncr = w_rows * gw
-    j = jax.lax.broadcasted_iota(jnp.int32, (_CAND, pr), 0)
-    r = jax.lax.broadcasted_iota(jnp.int32, (_CAND, pr), 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_cand, pr), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_cand, pr), 1)
     own_y = r == j // gw
     own_x = r == w_rows + (j - (j // gw) * gw)
     hit = (own_y | own_x) & (j < ncr)
@@ -142,11 +161,13 @@ def _band_assign(zp, cand, penb, cpen, *, w_rows, gw, band_px,
                  want_psums: bool):
     """Shared band-assignment math of the per-band and whole-image kernels.
 
-    zp: (3*_C, band_px) bf16 packed pixels of band t; cand: (_CAND, _C) f32
-    candidate centroids; penb: (pr, band_px) bf16 penalty rows of band t
+    zp: (3*_C, band_px) bf16 packed pixels of band t; cand: (n_cand, _C) f32
+    candidate centroids (n_cand = cand.shape[0]: 128 for the per-band
+    kernel, the 8-padded 3*gw window for the cell-aligned whole-image
+    kernel); penb: (pr, band_px) bf16 penalty rows of band t
     (iteration-invariant ±1-cell window masks, precomputed on the XLA side
-    — see slic_fused); cpen: (_CAND, pr) bf16 from _build_cpen. Returns
-    (local labels (band_px,) int32, psums (_CAND, _C) f32 or None).
+    — see slic_fused); cpen: (n_cand, pr) bf16 from _build_cpen. Returns
+    (local labels (band_px,) int32, psums (n_cand, _C) f32 or None).
 
     The 3x3-cell candidate mask is folded into the scores as a BILINEAR
     penalty: okY/okX are rank-(w_rows+gw) factors of the old
@@ -183,9 +204,11 @@ def _band_assign(zp, cand, penb, cpen, *, w_rows, gw, band_px,
     if not want_psums:
         return local, None
 
+    n_cand = cand.shape[0]
     valid = penb[w_rows + gw : w_rows + gw + 1]  # (1, band_px) bf16 0/1
     onehot = (
-        local[None, :] == jax.lax.broadcasted_iota(jnp.int32, (_CAND, band_px), 0)
+        local[None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (n_cand, band_px), 0)
     ).astype(jnp.bfloat16) * valid  # 0/1 — bf16-exact
     # one packed sums matmul over [z_hi; z_lo] (the first 2*_C rows of zp):
     # (CAND, band) @ (2*_C, band)^T -> hi/lo halves added in f32
@@ -306,6 +329,95 @@ def _slic_all_kernel(
         labels_ref[0, t] = (rb[t] * gw + local).reshape(8, band_px // 8)
 
 
+def _slic_all_kernel_w3(
+    zp_ref,  # (1, 3*_C, Np) bf16 — the WHOLE packed image, VMEM-resident
+    cw0_ref,  # (1, S_pad, _C) f32 — initial weighted centroids
+    pen_ref,  # (pr, Np) bf16 — penalty rows, whole image (batch-shared)
+    labels_ref,  # (1, Hp, Wp) int32 — global superpixel ids
+    *,
+    gw: int,
+    gh: int,
+    wp: int,
+    w3: int,
+    ys: tuple,  # (gh+1,) pixel-row band boundaries (cell-aligned, static)
+    rb3: tuple,  # (gh,) first candidate grid row per band
+    n_cand: int,  # 8-padded w3*gw
+    n_iter: int,
+    s_pad: int,
+    pr: int,
+):
+    """Cell-aligned variant of _slic_all_kernel: bands are the pixel rows
+    of ONE grid row each (variable heights, static slice bounds), so the
+    candidate window shrinks from w_rows=5 grid rows (128 padded lanes) to
+    w3=3 (8-padded 3*gw ≈ 72) — ~1.8x less work on the (n_cand, band_px)
+    argmin/one-hot arrays, the measured VPU bottleneck of the fused SLIC.
+
+    Per-pixel candidate sets and scores are IDENTICAL to the w_rows=5
+    plans (same ±1-cell rule, same bf16x3 score dot, same tie-break
+    order — rb3 <= any pixel's cell_y-1 so local ordering is row-major in
+    the same global-id order); only the f32 psum ACCUMULATION ORDER
+    differs (cell-aligned band matmul chunking vs 3-pixel-row bands), an
+    end-of-mantissa centroid difference. Production bf16 mode gates on
+    measured label agreement (tests/test_slic.py::test_w3_agreement);
+    fp32 parity mode never takes the fused kernel (graph "auto" rule)."""
+    f32 = jnp.float32
+    ncr = w3 * gw
+    cpen = _build_cpen(gw, w3, pr, n_cand)
+
+    def cand_window(cw, lo):  # rows [lo, lo+ncr) padded to n_cand
+        win = cw[lo : lo + ncr]
+        if ncr == n_cand:
+            return win
+        return jnp.concatenate(
+            [win, jnp.zeros((n_cand - ncr, _C), f32)], axis=0
+        )
+
+    def band(cw, g, want_psums):
+        y0, y1 = ys[g], ys[g + 1]
+        band_px = (y1 - y0) * wp
+        lo = rb3[g] * gw
+        cand = cand_window(cw, lo)
+        zpb = zp_ref[0, :, y0 * wp : y1 * wp]
+        penb = pen_ref[:, y0 * wp : y1 * wp]
+        return _band_assign(
+            zpb, cand, penb, cpen,
+            w_rows=w3, gw=gw, band_px=band_px, want_psums=want_psums,
+        )
+
+    def iterate(cw):  # (S_pad, _C) -> updated centroids
+        g_acc = jnp.zeros((s_pad, _C), f32)
+        for g in range(gh):
+            if ys[g + 1] == ys[g]:
+                continue  # empty band (gh > h corner)
+            lo = rb3[g] * gw
+            _, ps = band(cw, g, True)
+            pieces = []
+            if lo > 0:
+                pieces.append(jnp.zeros((lo, _C), f32))
+            pieces.append(ps[:ncr])
+            if s_pad - lo - ncr > 0:
+                pieces.append(jnp.zeros((s_pad - lo - ncr, _C), f32))
+            g_acc = g_acc + (
+                jnp.concatenate(pieces, axis=0)
+                if len(pieces) > 1 else pieces[0]
+            )
+        counts = g_acc[:, _ONES_COL : _ONES_COL + 1]
+        new = g_acc / jnp.maximum(counts, 1.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (s_pad, _C), 1)
+        new = jnp.where(lane == _ONES_COL, 1.0, new)
+        return jnp.where(counts > 0, new, cw)
+
+    cw = lax.fori_loop(0, n_iter, lambda _, c: iterate(c), cw0_ref[0])
+
+    for g in range(gh):  # final assignment under the converged table
+        if ys[g + 1] == ys[g]:
+            continue
+        local, _ = band(cw, g, False)
+        labels_ref[0, ys[g] : ys[g + 1], :] = (
+            rb3[g] * gw + local
+        ).reshape(ys[g + 1] - ys[g], wp)
+
+
 # Whole-image all-iterations gate, sized from the MEASURED VMEM peak, not
 # from the packed buffer alone: at config3 shape the ~8 MB packed buffer
 # compiled to a 102.5 MB Mosaic peak (the statically-unrolled per-band
@@ -315,6 +427,11 @@ def _slic_all_kernel(
 # launch-per-pass banded loop works fine, so the gate caps at 8.5 MB and
 # larger frames fall through to the banded loop (advisor finding r2).
 _SLIC_FUSE_BYTES = int(8.5 * 2**20)
+
+# Cell-aligned 3-grid-row fused-all plan (_slic_all_kernel_w3) vs the
+# original 5-row plan (_slic_all_kernel). Trace-time constant: flip with
+# jax.clear_caches() (exp_slic_w3.py A/Bs both).
+_W3_FUSED = True
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
@@ -419,6 +536,61 @@ def slic_fused(
         # launch-per-pass banded loop below
         s_pad = -(-n_sp // 8) * 8
         cw0_pad = jnp.pad(cw0, ((0, 0), (0, s_pad - n_sp), (0, 0)))
+        if _W3_FUSED:
+            # cell-aligned bands, 3-grid-row candidate window (~1.8x less
+            # VPU window work — see _slic_all_kernel_w3); pen_y rebuilt
+            # for the w3 geometry, pen_x/valid shared
+            w3, ys3, rb3 = plan["w3"], plan["ys3"], plan["rb3"]
+            n_cand = -(-(w3 * gw) // 8) * 8
+            pr3, _ = _pen_geometry(gw, w3)
+            rb3_p = jnp.asarray(np.asarray(rb3, np.int32))[cell_y]
+            rows_y3 = (
+                rb3_p[None, :]
+                + jnp.arange(w3, dtype=jnp.int32)[:, None]
+            )
+            pen_y3 = (jnp.abs(rows_y3 - cell_y[None, :]) > 1).astype(
+                jnp.bfloat16
+            )
+            pen3 = jnp.concatenate(
+                [pen_y3, pen_x, valid,
+                 jnp.zeros((pr3 - w3 - gw - 1, hp * wp), jnp.bfloat16)],
+                axis=0,
+            )  # (pr3, Np)
+            w3_kernel = functools.partial(
+                _slic_all_kernel_w3, gw=gw, gh=gh, wp=wp, w3=w3,
+                ys=ys3, rb3=rb3, n_cand=n_cand, n_iter=n_iter,
+                s_pad=s_pad, pr=pr3,
+            )
+            labels = pl.pallas_call(
+                w3_kernel,
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((1, 3 * _C, hp * wp),
+                                 lambda bi: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, s_pad, _C), lambda bi: (bi, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((pr3, hp * wp), lambda bi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, hp, wp), lambda bi: (bi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+                cost_estimate=pl.CostEstimate(
+                    flops=int(
+                        2 * 2 * (n_iter + 1) * b * hp * wp * n_cand * _C * 8
+                    ),
+                    bytes_accessed=int(2 * b * 3 * _C * hp * wp),
+                    transcendentals=0,
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=116 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(z_pack, cw0_pad, pen3)
+            return labels[:, :h, :w]
         all_kernel = functools.partial(
             _slic_all_kernel, gw=gw, w_rows=w_rows,
             band_px=band_px, n_bands=n_bands, rb=tuple(int(r) for r in rb),

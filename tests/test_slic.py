@@ -174,11 +174,13 @@ def test_fused_banded_matches_plain(small_mosaic):
 
 
 def test_fused_all_matches_banded_loop(small_mosaic):
-    """The whole-image all-iterations SLIC kernel (_slic_all_kernel) must
-    be EXACTLY the launch-per-pass banded loop it replaces: same per-band
-    dots via the shared _band_assign, same band-order scatter adds, same
-    empty-cluster rule — bitwise-equal labels (interpret mode here; the
-    TPU bit-equality was verified on the eval batch, see git log)."""
+    """The whole-image all-iterations SLIC kernel must match the
+    launch-per-pass banded loop it replaces: identical per-pixel candidate
+    sets, scores and tie-breaks via the shared _band_assign. With the
+    default cell-aligned w3 plan the psum ACCUMULATION ORDER differs from
+    the 5-row banded loop (different band matmul chunking — see
+    _slic_all_kernel_w3), so equality here is empirical-exact on this
+    input; test_w3_agreement pins the w3-vs-w5 comparison explicitly."""
     import jax.numpy as jnp
 
     import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
@@ -198,6 +200,30 @@ def test_fused_all_matches_banded_loop(small_mosaic):
         sp._SLIC_FUSE_BYTES = old
         sp.slic_fused.clear_cache()
     assert (fused_all == banded).all()
+
+
+def test_w3_agreement(small_mosaic):
+    """Cell-aligned w3 fused-all vs the 5-row fused-all plan: same
+    9-candidate rule and scores, psum accumulation order differs — labels
+    must agree (exactly here; the production gate is the >=0.999 agreement
+    + PRI parity standard, exp_slic_w3.py measures it at config3 scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
+
+    rgb, _ = small_mosaic
+    lab = jnp.asarray(rgb_to_lab_np(rgb))[None]
+    w3 = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+    try:
+        sp._W3_FUSED = False
+        jax.clear_caches()  # trace-time constant
+        w5 = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+    finally:
+        sp._W3_FUSED = True
+        jax.clear_caches()
+    agree = (w3 == w5).mean()
+    assert agree >= 0.999, f"w3 vs w5 agreement {agree}"
 
 
 def test_fused_banded_downstream_regions(small_mosaic):
