@@ -90,16 +90,24 @@ def _pool2x2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     sum of models/kmeans.py::pool2x2 (((x00+x01)+(x10+x11))*0.25, cast back),
     mirrored bit-for-bit by golden/graph pooling.
 
-    Strided slices of the ORIGINAL-dtype tensor, cast per-operand: a
-    reshape-then-astype form materialized a full-resolution f32 copy of the
-    energies (21 GB at config4's 4K batch-5 — measured HBM OOM); with the
-    casts appearing per slice XLA fuses them into the adds."""
+    Layout note (the 1.7 s/op config4 regression, exp_pool_nhwc.py): a
+    stride-2 slice along W hits the SUBLANE dim of an NHWC tensor — four
+    of them on the (4, 2160, 3840, 72) energies cost ~1.7 s/op. Instead,
+    reshape (W, C) -> (W/2, 2C): identical linear order (one cheap
+    relayout), after which the column split is a LANE slice and the row
+    split strides an untiled major dim. Casts stay per-operand so no
+    full-res f32 copy materializes (21 GB at config4's 4K batch-5 —
+    measured HBM OOM); the add order is unchanged, results bitwise
+    identical to the strided-slice form."""
     h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+    c = x.shape[3]
     g = x[:, : 2 * h2, : 2 * w2]
     f32 = jnp.float32
+    gp = g.reshape(g.shape[0], 2 * h2, w2, 2 * c)
+    e, o = gp[:, 0::2], gp[:, 1::2]  # even / odd pixel rows
     s = (
-        g[:, 0::2, 0::2].astype(f32) + g[:, 0::2, 1::2].astype(f32)
-    ) + (g[:, 1::2, 0::2].astype(f32) + g[:, 1::2, 1::2].astype(f32))
+        e[..., :c].astype(f32) + e[..., c:].astype(f32)
+    ) + (o[..., :c].astype(f32) + o[..., c:].astype(f32))
     return (0.25 * s).astype(x.dtype)
 
 
