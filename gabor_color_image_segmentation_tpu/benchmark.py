@@ -92,16 +92,26 @@ def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
     c, g = cfg.cluster, cfg.graph
     t0 = time.perf_counter()
     for i in range(n_images):
-        feats = features_golden(batch[i], cfg.bank, c, bank=bank)
-        h, w, d = feats.shape
         if g.enabled and g.cut == "ncut":
-            lab = rgb_to_lab_np(batch[i])
+            # the graph chain mirrors the production multirate schedule
+            # (GraphConfig.pool): SLIC/connectivity/n-cut on the pooled
+            # grid, exactly like the jitted path — the method-correct
+            # denominator for config4+cut
+            from golden.graph import graph_inputs_golden
+
+            feats, lab = graph_inputs_golden(
+                batch[i], cfg.bank, c, g.pool, cfg.color_space, bank
+            )
+            h, w, d = feats.shape
             sp = enforce_connectivity_golden(
                 slic_golden(lab, g.n_superpixels, g.slic_compactness, g.slic_iters)
             )
             gh, gw, _ = grid_shape(h, w, g.n_superpixels)
             ncut_golden(feats, sp, g.n_regions, g.affinity_sigma, gh * gw)
-        elif c.method == "gmm":
+            continue
+        feats = features_golden(batch[i], cfg.bank, c, bank=bank)
+        h, w, d = feats.shape
+        if c.method == "gmm":
             gmm_golden(
                 feats.reshape(-1, d), c.k, c.n_iter, c.gmm_reg_covar, c.gmm_tol
             )

@@ -189,9 +189,21 @@ class ClusterConfig:
     #     split PRI 0.63 -> 0.89 (the static balance drowned the Gabor
     #     energies in raw-oscillation color variance); standard split PRI
     #     -0.005 (noise), boundary-F 0.21 -> 0.30. NHWC path + golden
-    #     mirror + tiled strips; the transposed/CHW fast paths require
-    #     "static" and fall back otherwise.
+    #     mirror + tiled strips + (round 4) the transposed/CHW fast paths,
+    #     where the per-image weights fold into the standardization affine.
     cue_weight: str = "static"
+    # Exponent on the coherence weights (cue_weight="coherence" only):
+    # feats *= c^pow. Round-4 anomaly resolution (BASELINE.md,
+    # exp_coherence_anomaly.py): Gaussian energy smoothing makes EVERY
+    # energy dim spatially coherent (mean c ~= 0.94 on both ablation
+    # splits), so p=1 cannot down-weight uninformative energies and the
+    # 36-dim energy block dilutes the 3 color dims. Sharpening to p=2
+    # dominates BOTH static and p=1 on BOTH splits (standard: PRI
+    # 0.8600/F 0.2744 vs 0.8435/0.1919 static; texture-only: 0.9026/0.5750
+    # vs 0.6304/0.3501 static). Presets keep cue_weight="static" for
+    # reference-faithful semantics; coherence_pow=2.0 is the measured
+    # recommendation when enabling coherence.
+    coherence_pow: float = 1.0
     gmm_reg_covar: float = 1e-4
     # EM early exit: stop when the mean log-likelihood improves by < gmm_tol
     # (sklearn GaussianMixture.tol semantics, mirrored in golden). 0 = run
@@ -374,7 +386,13 @@ PRESETS: dict[str, PipelineConfig] = {
         name="config4",
         bank=_SMALL_BANK,
         cluster=ClusterConfig(method="kmeans", k=5),
-        graph=GraphConfig(enabled=False),
+        # The spec'd CUT chain (BASELINE.json config 4: "fused
+        # filter->cluster->cut"): SLIC + connectivity + affinity + n-cut on
+        # the 4x4-pooled grid (GraphConfig.pool — at 4K the 4 px boundary
+        # quantization is far inside the 33 px boundary-F tolerance, for
+        # 1/16 the graph-stage work). Flipped in round 4 (VERDICT r3
+        # missing #1) once the pooled chain was benched post-pooling-fix.
+        graph=GraphConfig(enabled=True, pool=2),
         image_hw=(2160, 3840),
         batch_size=8,
         mesh_shape=(8,),

@@ -66,18 +66,25 @@ def superpixel_means(
     scatters lower to sort-based updates, orders of magnitude slower).
     Precision: TPU DEFAULT f32 dots round operands to bf16 — lossy for
     genuine f32 features (parity mode -> HIGHEST), lossless when the feature
-    tensor is already bf16 (one-hot weights are bf16-exact)."""
+    tensor is already bf16 (one-hot weights are bf16-exact). In bf16 mode
+    the one-hot is STORED bf16 too — 0/1 are bf16-exact and both reductions
+    accumulate in f32, so results are bit-identical to the f32-stored
+    one-hot while the materialized (N, S) tensor (the stage's dominant HBM
+    traffic at config3 scale) halves."""
     from gabor_color_image_segmentation_tpu.ops.precision import precision_for
 
     prec = precision_for(features.dtype)
-    onehot = jax.nn.one_hot(labels, n_sp, dtype=jnp.float32)  # (N, S)
+    oh_dtype = (
+        jnp.bfloat16 if features.dtype == jnp.bfloat16 else jnp.float32
+    )
+    onehot = jax.nn.one_hot(labels, n_sp, dtype=oh_dtype)  # (N, S)
     sums = jnp.dot(
         onehot.T,
-        features.astype(jnp.float32),
+        features,
         preferred_element_type=jnp.float32,
         precision=prec,
     )
-    cnts = jnp.sum(onehot, axis=0)
+    cnts = jnp.sum(onehot, axis=0, dtype=jnp.float32)
     return sums / jnp.maximum(cnts, 1.0)[:, None], cnts
 
 

@@ -567,10 +567,16 @@ def _affine_params(xe, xc4, cluster_cfg, eps: float):
     f32 = jnp.float32
     cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
     if not cluster_cfg.normalize:
+        from gabor_color_image_segmentation_tpu.ops.features import (
+            fold_coherence_affine,
+        )
+
         a = jnp.concatenate(
             [jnp.ones((b, e), f32), jnp.full((b, 3), cw, f32)], axis=1
         )
-        return a, jnp.zeros((b, e + 3), f32)
+        return fold_coherence_affine(
+            a, jnp.zeros((b, e + 3), f32), groups, xc4, cluster_cfg, eps
+        )
 
     def moments(x):
         mean = jnp.mean(x, axis=(2, 3), dtype=f32)
@@ -584,7 +590,12 @@ def _affine_params(xe, xc4, cluster_cfg, eps: float):
     a_e = 1.0 / (s_e + eps)
     a_c = cw / (s_c + eps)
     a = jnp.concatenate([a_e, a_c], axis=1)
-    return a, jnp.concatenate([-m_e * a_e, -m_c * a_c], axis=1)
+    bb = jnp.concatenate([-m_e * a_e, -m_c * a_c], axis=1)
+    from gabor_color_image_segmentation_tpu.ops.features import (
+        fold_coherence_affine,
+    )
+
+    return fold_coherence_affine(a, bb, groups, xc4, cluster_cfg, eps)
 
 
 def build_color4(color: jnp.ndarray, dtype) -> jnp.ndarray:

@@ -128,7 +128,9 @@ def _can_segment_transposed(cfg: PipelineConfig, h: int, w: int) -> bool:
         and not cfg.graph.enabled
         and cfg.cluster.subsample == 1
         and cfg.cluster.feature_set == "full"
-        and cfg.cluster.cue_weight == "static"
+        # cue_weight="coherence" folds into the standardization affine on
+        # the fast paths (ops/features.py::fold_coherence_affine) — no
+        # fallback needed since round 4
         and cfg.bank.gamma == 1.0
         and cfg.feature_impl in ("auto", "pallas")
         and (cfg.tile_hw is None or (h <= cfg.tile_hw[0] and w <= cfg.tile_hw[1]))

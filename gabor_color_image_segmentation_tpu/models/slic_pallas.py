@@ -333,7 +333,7 @@ def _slic_all_kernel_w3(
     zp_ref,  # (1, 3*_C, Np) bf16 — the WHOLE packed image, VMEM-resident
     cw0_ref,  # (1, S_pad, _C) f32 — initial weighted centroids
     pen_ref,  # (pr, Np) bf16 — penalty rows, whole image (batch-shared)
-    labels_ref,  # (1, Hp, Wp) int32 — global superpixel ids
+    labels_ref,  # (1, 1, Hp*Wp) int32 — global superpixel ids, flat rows
     *,
     gw: int,
     gh: int,
@@ -413,9 +413,17 @@ def _slic_all_kernel_w3(
         if ys[g + 1] == ys[g]:
             continue
         local, _ = band(cw, g, False)
-        labels_ref[0, ys[g] : ys[g + 1], :] = (
+        # FLAT lane store: labels_ref is (1, 1, Hp*Wp) and each band writes
+        # its (1, band_px) row at lane offset ys[g]*wp (a multiple of the
+        # 128-lane tile since wp is). Reshaping the band to
+        # (rows, wp) in-kernel instead — variable row counts like 21 are
+        # not a multiple of the 8-sublane tile — is an unsupported Mosaic
+        # shape cast: that exact store COMPILE-FAILED on real TPU hardware
+        # (2026-08-20, "infer-vector-layout: unsupported shape cast"),
+        # which interpret-mode CI could not catch (advisor r3 medium).
+        labels_ref[0, :, ys[g] * wp : ys[g + 1] * wp] = (
             rb3[g] * gw + local
-        ).reshape(ys[g + 1] - ys[g], wp)
+        )[None, :]
 
 
 # Whole-image all-iterations gate, sized from the MEASURED VMEM peak, not
@@ -586,10 +594,10 @@ def slic_fused(
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, hp, wp), lambda bi: (bi, 0, 0),
+                    (1, 1, hp * wp), lambda bi: (bi, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((b, 1, hp * wp), jnp.int32),
                 cost_estimate=pl.CostEstimate(
                     flops=int(
                         2 * 2 * (n_iter + 1) * b * hp * wp * n_cand * _C * 8
@@ -602,7 +610,7 @@ def slic_fused(
                 ),
                 interpret=interpret,
             )(z_pack, cw0_pad, pen3)
-            return labels[:, :h, :w]
+            return labels.reshape(b, hp, wp)[:, :h, :w]
         all_kernel = functools.partial(
             _slic_all_kernel, gw=gw, w_rows=w_rows,
             band_px=band_px, n_bands=n_bands, rb=tuple(int(r) for r in rb),

@@ -198,7 +198,9 @@ def assemble_features(
     else:
         out = feats.astype(jnp.float32) * scale
     if getattr(cluster_cfg, "cue_weight", "static") == "coherence":
-        out = out * coherence_weights(out, eps)
+        cw_ = coherence_weights(out, eps)
+        p = float(getattr(cluster_cfg, "coherence_pow", 1.0))
+        out = out * (cw_ if p == 1.0 else cw_ ** p)
     return out.astype(out_dtype)
 
 
@@ -228,6 +230,66 @@ def coherence_weights(feats: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
         0.0,
     )
     return jnp.sqrt(pv) / (jnp.sqrt(fv) + eps)
+
+
+def coherence_weights_cm(
+    groups, color_cm: jnp.ndarray, a: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Coherence weights from RAW channel-major buffers — the fast-path
+    form that lets the transposed/CHW pipelines FOLD cue_weight="coherence"
+    into their standardization affine instead of falling back to NHWC
+    (VERDICT r3 task 5).
+
+    groups: tuple of (B, C_g, H, W) raw energy buffers (the fused kernel's
+    grouped output); color_cm: (B, >=3, H, W) raw color rows (extra rows
+    ignored); a: (B, D) the standardization-affine multiplier from
+    _affine_params/_norm_affine. Returns (B, D) weights equal to
+    ``coherence_weights`` on the standardized NHWC features in real
+    arithmetic: standardization is per-dim affine and block means commute
+    with affines, so std(blockmean(std-space))/std(std-space) =
+    (a*std(blockmean(raw))) / (a*std(raw)); carrying ``a`` through keeps
+    even the eps regularizer at the NHWC formula's scale. Identity (ones)
+    when the image is too small to pool — the NHWC rule."""
+    n = _COH_BLOCK
+    bufs = list(groups) + [color_cm[:, :3]]
+    b, _, h, w = bufs[0].shape
+    hb, wb = h // n, w // n
+    d = sum(x.shape[1] for x in bufs)
+    if hb < 2 or wb < 2:
+        return jnp.ones((b, d), jnp.float32)
+    sp_, sf_ = [], []
+    for buf in bufs:
+        c = buf.shape[1]
+        f = buf[:, :, : hb * n, : wb * n].astype(jnp.float32)
+        p = jnp.mean(f.reshape(b, c, hb, n, wb, n), axis=(3, 5))
+        pm = jnp.mean(p, axis=(2, 3))
+        pv = jnp.maximum(
+            jnp.mean(jnp.square(p), axis=(2, 3)) - jnp.square(pm), 0.0
+        )
+        fm = jnp.mean(f, axis=(2, 3))
+        fv = jnp.maximum(
+            jnp.mean(jnp.square(f), axis=(2, 3)) - jnp.square(fm), 0.0
+        )
+        sp_.append(jnp.sqrt(pv))
+        sf_.append(jnp.sqrt(fv))
+    sp = jnp.concatenate(sp_, axis=1)  # (B, D)
+    sf = jnp.concatenate(sf_, axis=1)
+    return (a * sp) / (a * sf + eps)
+
+
+def fold_coherence_affine(
+    a: jnp.ndarray, b_aff: jnp.ndarray, groups, color_cm, cluster_cfg,
+    eps: float = 1e-6,
+):
+    """Fold cue_weight="coherence" into a standardization affine (a, b):
+    normalized-and-weighted = raw * (a*c^p) + (b*c^p). No-op for
+    cue_weight="static"."""
+    if getattr(cluster_cfg, "cue_weight", "static") != "coherence":
+        return a, b_aff
+    c = coherence_weights_cm(groups, color_cm, a, eps)
+    p = float(getattr(cluster_cfg, "coherence_pow", 1.0))
+    w = c if p == 1.0 else c ** p
+    return a * w, b_aff * w
 
 
 def assemble_features_t(
@@ -262,8 +324,12 @@ def assemble_features_t(
             else jnp.float32
         )
     e_t = energies_cm.reshape(b, e, n)
-    c_t = jnp.transpose(color, (0, 3, 1, 2)).reshape(b, 3, n)
+    color_cm = jnp.transpose(color, (0, 3, 1, 2))
+    c_t = color_cm.reshape(b, 3, n)
     a_e, b_e, a_c, b_c = _norm_affine(e_t, c_t, cluster_cfg, eps)
+    a_e, b_e, a_c, b_c = _fold_coherence_parts(
+        a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps
+    )
     # NO concat of energies+color (materializing the fused buffer measured
     # ~3 ms extra) and normalization folded into one fma per part: two
     # reads + the xt write, near the HBM floor
@@ -276,6 +342,27 @@ def assemble_features_t(
     )
     xt = xt.at[:, d, :n].set(1.0)
     return xt
+
+
+def _fold_coherence_parts(
+    a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps
+):
+    """fold_coherence_affine for the split (energy, color) affine parts of
+    _norm_affine ((B, E, 1) / (B, 3, 1) shapes). No-op for static."""
+    if getattr(cluster_cfg, "cue_weight", "static") != "coherence":
+        return a_e, b_e, a_c, b_c
+    e = energies_cm.shape[1]
+    b = energies_cm.shape[0]
+    a_full = jnp.concatenate(
+        [jnp.broadcast_to(a_e, (b, e, 1))[:, :, 0],
+         jnp.broadcast_to(a_c, (b, 3, 1))[:, :, 0]], axis=1
+    )
+    c = coherence_weights_cm((energies_cm,), color_cm, a_full, eps)
+    p = float(getattr(cluster_cfg, "coherence_pow", 1.0))
+    w = (c if p == 1.0 else c ** p)[:, :, None]  # (B, D, 1)
+    return (
+        a_e * w[:, :e], b_e * w[:, :e], a_c * w[:, e:], b_c * w[:, e:]
+    )
 
 
 def _norm_affine(e_t: jnp.ndarray, c_t: jnp.ndarray, cluster_cfg, eps):
@@ -407,6 +494,9 @@ def assemble_features_t_pooled(
     color_cm = jnp.transpose(color, (0, 3, 1, 2))
     c_t = color_cm.reshape(b, 3, n)
     a_e, b_e, a_c, b_c = _norm_affine(e_t, c_t, cluster_cfg, eps)
+    a_e, b_e, a_c, b_c = _fold_coherence_parts(
+        a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps
+    )
 
     # pool the KERNEL OUTPUT directly (contiguous) — pooling a concatenated
     # feats buffer forces XLA to materialize + relayout it (measured ~29 ms

@@ -165,7 +165,9 @@ def _standardize_strip(
             - jnp.square(fm),
             0.0,
         )
-        feats = feats * (jnp.sqrt(pv) / (jnp.sqrt(fv) + 1e-6))
+        cwts = jnp.sqrt(pv) / (jnp.sqrt(fv) + 1e-6)
+        pw = float(getattr(cfg.cluster, "coherence_pow", 1.0))
+        feats = feats * (cwts if pw == 1.0 else cwts ** pw)
     return feats
 
 

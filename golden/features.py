@@ -113,7 +113,9 @@ def assemble_features_np(
     )
     feats = feats * scale
     if getattr(cluster_cfg, "cue_weight", "static") == "coherence":
-        feats = feats * coherence_weights_np(feats, eps)
+        cwts = coherence_weights_np(feats, eps)
+        p = float(getattr(cluster_cfg, "coherence_pow", 1.0))
+        feats = feats * (cwts if p == 1.0 else cwts ** p)
     return feats
 
 

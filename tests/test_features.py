@@ -177,3 +177,68 @@ def test_feature_set_and_coherence_golden(small_mosaic):
     cc = dataclasses.replace(cfg.cluster, feature_set="texture")
     f_t = compute_features(jnp.asarray(rgb)[None], cfg.replace(cluster=cc), bank)
     assert f_t.shape[-1] == e
+
+
+def test_coherence_folded_affine_matches_nhwc(small_mosaic):
+    """Round-4 fast-path folding (VERDICT r3 task 5): cue_weight="coherence"
+    folded into the standardization affine (assemble_features_t /
+    kmeans_chw._affine_params via fold_coherence_affine) must equal the
+    NHWC assemble_features coherence weighting — standardization is per-dim
+    affine and block means commute with affines, so computing the weights
+    from RAW buffers is the same map. Checked at coherence_pow 1 and 2."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.config import BankConfig, ClusterConfig
+    from gabor_color_image_segmentation_tpu.models.kmeans_chw import (
+        _affine_params,
+        build_color4,
+    )
+    from gabor_color_image_segmentation_tpu.models.kmeans_pallas import (
+        xt_geometry,
+    )
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _color_transform,
+    )
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from gabor_color_image_segmentation_tpu.ops.features import (
+        assemble_features,
+        assemble_features_t,
+    )
+    from gabor_color_image_segmentation_tpu.ops.modulated import (
+        gabor_energies_mod,
+    )
+
+    rgb, _ = small_mosaic
+    h, w = rgb.shape[:2]
+    bank = make_bank(BankConfig(scales=(2.0, 3.0), orientations=2))
+    color = _color_transform(jnp.asarray(rgb)[None], "lab")
+    e_nhwc = gabor_energies_mod(color, bank, jnp.float32)
+    e_cm = jnp.transpose(e_nhwc, (0, 3, 1, 2))
+    e = e_cm.shape[1]
+    d = e + 3
+    for pw in (1.0, 2.0):
+        cc = ClusterConfig(cue_weight="coherence", coherence_pow=pw)
+        ref = np.asarray(assemble_features(e_nhwc, color, cc))[0]  # (H,W,D)
+        # transposed assembly path
+        dp, n_pad, _ = xt_geometry(h * w, d, jnp.float32)
+        xt = assemble_features_t(e_cm, color, cc, dp, n_pad)
+        got = np.asarray(xt)[0, :d, : h * w].T.reshape(h, w, d)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        # CHW affine path: raw * a + b per dim
+        xc4 = build_color4(color, jnp.float32)
+        a, b_aff = _affine_params((e_cm,), xc4, cc, 1e-6)
+        raw = np.concatenate(
+            [np.asarray(e_cm)[0], np.asarray(xc4)[0, :3]], axis=0
+        )  # (D, H, W)
+        folded = (
+            raw * np.asarray(a)[0][:, None, None]
+            + np.asarray(b_aff)[0][:, None, None]
+        ).transpose(1, 2, 0)
+        np.testing.assert_allclose(folded, ref, rtol=2e-4, atol=2e-4)
+    # static is untouched by the fold (identity)
+    cc_s = ClusterConfig()
+    xc4 = build_color4(color, jnp.float32)
+    a1, b1 = _affine_params((e_cm,), xc4, cc_s, 1e-6)
+    assert np.isfinite(np.asarray(a1)).all()
