@@ -119,8 +119,7 @@ def main():
 
     timeit("features (fused, channel-major)", loop_jit(
         lambda i, r: jnp.sum(
-            feats_cm(r + i.astype(r.dtype))[1][:, ::7, ::13, ::17]
-            .astype(jnp.float32)
+            feats_cm(r + i.astype(r.dtype))[1].astype(jnp.float32)
         )
     ), batch)
 
@@ -146,8 +145,7 @@ def main():
 
     timeit("assembly (xt + pooled fit_xp)", loop_jit(
         lambda i, e, c: jnp.sum(
-            assemble(e, c + i.astype(c.dtype))[0][:, :, ::97]
-            .astype(jnp.float32)
+            assemble(e, c + i.astype(c.dtype))[0].astype(jnp.float32)
         )
     ), energies_cm, color)
 
@@ -185,7 +183,7 @@ def main():
         p = _moments_to_params(ms + i * 0.0, cv, d, m, k,
                                cfg.cluster.gmm_reg_covar)
         a, bias, const = _params_to_kernel_inputs(*p, d, dp, k)
-        return jnp.sum(a[:, ::7, ::5]) + jnp.sum(bias) + jnp.sum(const)
+        return jnp.sum(a) + jnp.sum(bias) + jnp.sum(const)
 
     timeit("glue (moments->params->chol->inputs)", loop_jit(glue),
            msums0, covs0)

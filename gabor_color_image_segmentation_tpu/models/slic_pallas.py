@@ -440,8 +440,11 @@ _SLIC_FUSE_BYTES = int(8.5 * 2**20)
 # plan="auto": the cell-aligned 3-grid-row kernel (_slic_all_kernel_w3) vs
 # the original 5-row one (_slic_all_kernel). A/Bs select per-call via the
 # ``plan`` static argument — no module-global flips, no cache clearing
-# (advisor r3).
-_W3_FUSED = True
+# (advisor r3). w5 since round 4: measured on TPU 2026-08-20 (after fixing
+# the w3 kernel's Mosaic-illegal band store), w3 is SLOWER (594 vs 452 ms
+# single-call batch-8 fused SLIC; labels 1.000000 equal) — its narrower
+# candidate window doesn't pay for the gh smaller per-band matmuls.
+_W3_FUSED = False
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))

@@ -155,11 +155,13 @@ def test_feature_set_and_coherence_golden(small_mosaic):
     rgb, _ = small_mosaic
     cfg = preset("config0").replace(feature_impl="modulated")
     bank = make_bank(cfg.bank)
-    for fset, cue in (
-        ("full", "static"), ("color", "static"), ("texture", "static"),
-        ("full", "coherence"),
+    for fset, cue, pw in (
+        ("full", "static", 1.0), ("color", "static", 1.0),
+        ("texture", "static", 1.0), ("full", "coherence", 1.0),
+        ("full", "coherence", 2.0),
     ):
-        cc = dataclasses.replace(cfg.cluster, feature_set=fset, cue_weight=cue)
+        cc = dataclasses.replace(cfg.cluster, feature_set=fset,
+                                 cue_weight=cue, coherence_pow=pw)
         ours = np.asarray(
             compute_features(jnp.asarray(rgb)[None], cfg.replace(cluster=cc),
                              bank)
@@ -168,7 +170,7 @@ def test_feature_set_and_coherence_golden(small_mosaic):
         assert ours.shape == gold.shape, (fset, cue, ours.shape, gold.shape)
         scale = np.abs(gold).max()
         err = np.abs(ours - gold).max() / scale
-        assert err < 2e-3, f"{fset}/{cue}: rel err {err}"
+        assert err < 2e-3, f"{fset}/{cue}/p={pw}: rel err {err}"
     # dims: color-only = 3, texture-only = E, full = E + 3
     e = bank.n_kernels * 3
     cc = dataclasses.replace(cfg.cluster, feature_set="color")
