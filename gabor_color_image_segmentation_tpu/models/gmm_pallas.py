@@ -467,27 +467,31 @@ def gmm_fused_t_xt(
     else:
         # per-image tol with per-image FREEZING, exactly like vmapping the
         # XLA solver's while_loop over the batch: a converged image's params
-        # stop updating (vmapped while_loop freezes done lanes via select),
-        # while the loop runs until the slowest image converges
+        # stop updating (vmapped while_loop freezes done lanes via select).
+        # Loop FORM (round 4): a fixed-count fori_loop over n_iter, NOT a
+        # data-dependent while_loop that exits when every image converges.
+        # Bitwise identical — once go_b[i] is False, image i's params never
+        # change, so iterations past global convergence are no-ops — and
+        # the config2 stage split showed the while form's cost was almost
+        # entirely per-iteration LOOP overhead, not body work (measured
+        # stages summed to ~7 of 19.3 ms/op; the pooled EM body is ~0.1 ms
+        # while the mean trip count is 28 of the 30 cap, so the early exit
+        # saved ~2 body-iterations and paid condition/sync overhead on all
+        # 28). exp_gmm_loopform.py pins the A/B.
         def freeze(go_b, new, old):
             mask = go_b.reshape((b,) + (1,) * (new.ndim - 1))
             return jnp.where(mask, new, old)
 
-        def cond(carry):
-            return jnp.any(carry[3])
-
-        def body(carry):
-            i, params, prev_ll, go_b = carry
+        def body(i, carry):
+            params, prev_ll, go_b = carry
             new, ll, _ = em(params)
             params = tuple(freeze(go_b, n_, o_) for n_, o_ in zip(new, params))
             ll = jnp.where(go_b, ll, prev_ll)
-            go_b = go_b & (i + 1 < n_iter) & (jnp.abs(ll - prev_ll) >= tol)
-            return i + 1, params, ll, go_b
+            go_b = go_b & (jnp.abs(ll - prev_ll) >= tol)
+            return params, ll, go_b
 
         go0 = jnp.full((b,), n_iter > 0)
-        _, params, _, _ = lax.while_loop(
-            cond, body, (jnp.int32(0), params0, ll0, go0)
-        )
+        params, _, _ = lax.fori_loop(0, n_iter, body, (params0, ll0, go0))
 
     # full-resolution refinement passes (see docstring); unrolled — small
     for _ in range(refine_iters):

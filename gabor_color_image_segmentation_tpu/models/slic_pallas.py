@@ -440,11 +440,15 @@ _SLIC_FUSE_BYTES = int(8.5 * 2**20)
 # plan="auto": the cell-aligned 3-grid-row kernel (_slic_all_kernel_w3) vs
 # the original 5-row one (_slic_all_kernel). A/Bs select per-call via the
 # ``plan`` static argument — no module-global flips, no cache clearing
-# (advisor r3). w5 since round 4: measured on TPU 2026-08-20 (after fixing
-# the w3 kernel's Mosaic-illegal band store), w3 is SLOWER (594 vs 452 ms
-# single-call batch-8 fused SLIC; labels 1.000000 equal) — its narrower
-# candidate window doesn't pay for the gh smaller per-band matmuls.
-_W3_FUSED = False
+# (advisor r3). w3, with BOTH TPU measurements on record (2026-08-20,
+# after fixing the w3 kernel's Mosaic-illegal band store): at the official
+# amortized methodology (bench.py, 50 in-jit e2e iterations) w3 wins
+# decisively — config3 63.85 vs 55.35 MP/s — matching its ~1.8x-less-VPU-
+# window-work design. The SINGLE-CALL standalone A/B (exp_slic_w3) reads
+# the opposite (594 vs 452 ms) — per-call dispatch/fence artifacts at the
+# ~400 ms single-call overhead scale are NOT trustworthy for kernel
+# choices; only loop-amortized numbers are (CLAUDE.md methodology).
+_W3_FUSED = True
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
