@@ -26,6 +26,16 @@ def _add_preset_args(p):
         "--feature-impl", choices=["auto", "direct", "modulated", "pallas"], default=None
     )
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None)
+    p.add_argument(
+        "--cue-weight", choices=["static", "coherence"], default=None,
+        help="feature cue weighting; 'coherence' with --coherence-pow 2 is "
+        "the measured recommendation for texture-dominated imagery "
+        "(BASELINE.md round-4 ablation)",
+    )
+    p.add_argument("--coherence-pow", type=float, default=None)
+    p.add_argument(
+        "--feature-set", choices=["full", "color", "texture"], default=None
+    )
 
 
 def _build_cfg(args):
@@ -48,6 +58,20 @@ def _build_cfg(args):
         cfg = cfg.replace(feature_impl=args.feature_impl)
     if args.dtype:
         cfg = cfg.replace(dtype=args.dtype)
+    if args.cue_weight:
+        cfg = cfg.replace(
+            cluster=dataclasses.replace(cfg.cluster, cue_weight=args.cue_weight)
+        )
+    if args.coherence_pow is not None:
+        cfg = cfg.replace(
+            cluster=dataclasses.replace(
+                cfg.cluster, coherence_pow=args.coherence_pow
+            )
+        )
+    if args.feature_set:
+        cfg = cfg.replace(
+            cluster=dataclasses.replace(cfg.cluster, feature_set=args.feature_set)
+        )
     return cfg
 
 

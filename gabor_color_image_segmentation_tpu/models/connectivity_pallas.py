@@ -63,6 +63,13 @@ _PRIO = ((-1, 0), (0, -1), (0, 1), (1, 0))
 # fixpoint, so chaining over-steps by at most UNROLL-1 no-op applications
 # while dividing the sync count — outputs are bit-identical (pinned by
 # tests/test_slic.py). Module global so the sweep experiment can retune.
+# Depth sweep (exp_conn_unroll.py, TPU 2026-08-20): STANDALONE the kernel
+# reads 8 -> 20.35, 16 -> 17.47, 32 -> 25.90 ms/op batch-8 (bit-equal),
+# but at the official e2e methodology unroll=16 measured NEUTRAL
+# (config3 63.26 vs 63.85 MP/s — inside tunnel jitter), so 8 stays: the
+# standalone salted-loop harness over-weights the sync overhead the
+# chaining removes. Same lesson as the w3 SLIC plan: only loop-amortized
+# e2e numbers decide kernel defaults.
 _BFS_UNROLL = 8
 
 
