@@ -356,6 +356,10 @@ def test_slic_sharded_matches_unsharded(mesh8):
     )
     sharded = np.asarray(fn(jnp.asarray(lab)))
     agree = (sharded == single).mean()
+    # honest bound: the round-4 flip decomposition measured ZERO flips on
+    # its four 96x64 seeds, but THIS 64x96 input flips 2 of 6144 pixels —
+    # psum-order centroid shifts can cross an assignment tie on near-tied
+    # border pixels (PARITY.md round-4 section quantifies it)
     assert agree > 0.999, f"sharded SLIC agreement {agree}"
 
 
@@ -379,7 +383,9 @@ def test_tiled_graph_equals_untiled(mesh8):
         untiled = np.asarray(untiled)
         aligned = align_labels(tiled, untiled)
         agree = (aligned == untiled).mean()
-        assert agree > 0.999, f"pool={pool}: tiled-vs-untiled graph {agree}"
+        # tightened from 0.999 (round-4 flip decomposition: zero flips at
+        # every stage boundary — PARITY.md, exp_tiled_graph_parity.py)
+        assert agree > 0.9999, f"pool={pool}: tiled-vs-untiled graph {agree}"
 
 
 def test_2d_mesh_batch_space_graph():
