@@ -1,0 +1,141 @@
+"""Batched Cholesky + triangular inverse as ONE Pallas VMEM kernel.
+
+Why: config2's measured e2e floor (BASELINE.md, 2026-08-20) is the
+per-EM-iteration "glue" — `jnp.linalg.cholesky` on (B, k, 39, 39)
+followed by `solve_triangular(chol, I)` costs 0.20-0.32 ms per tol-loop
+iteration x ~28 iterations. That cost is LATENCY, not FLOPs (~12 MFLOP):
+XLA lowers both factorizations to ~D sequential steps of tiny
+dynamic-slice kernels. This kernel runs the same math as ONE launch of
+dense (M, R, 128) VPU steps, vectorized over all M = B*k matrices at
+once, with zero dynamic-slice traffic.
+
+Semantics (mirrors sklearn _compute_precision_cholesky,
+sklearn/mixture/_gaussian_mixture.py:323, which the golden path wraps):
+
+    L    = cholesky(cov)                (lower)
+    P^T  = solve_triangular(L, I)       (lower = L^{-1})
+    diag = diagonal(L)                  (for logdet_P = -sum log diag)
+
+Algorithm, all in f32 VPU math (no dots -> nothing for TPU DEFAULT
+precision to bf16-round; accumulation order differs from XLA's blocked
+factorization by normal f32 reassociation only):
+
+  * right-looking Cholesky: 39 steps; step j extracts row j of the
+    (symmetric-by-invariant) trailing matrix with a lane one-hot
+    reduction, and column j with a sublane one-hot reduction, then
+    applies the rank-1 update `S -= c c^T` masked to the trailing block.
+    Maintaining L AND L^T incrementally from the (sublane, lane) pair
+    avoids any in-kernel transpose.
+  * forward substitution: 39 steps; step i pulls row i of L in sublane
+    form from L^T (lane one-hot reduction), reduces it against the rows
+    of the partial X, and writes row i via a sublane one-hot select.
+
+Layouts: every tensor is (M, R, 128) or (M, R)/(M, 128) with M = B*k
+matrices on the leading (untiled) dim, matrix rows on sublanes (padded
+to a multiple of 8), matrix columns on lanes (padded to 128) — nothing
+variable-height, nothing reshaped across the sublane tiling (CLAUDE.md
+Mosaic rule). VMEM: 5 live (M, R, 128) f32 buffers at config2 scale
+(M=40, R=40) is ~3.2 MB.
+
+Production status: default OFF (`_PALLAS_CHOL` in models/gmm_pallas.py)
+until measured on TPU; parity-tested against the XLA factorization in
+tests/test_chol_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _kernel(s_ref, x_ref, diag_ref, *, d: int):
+    S = s_ref[...]  # (M, R, C) f32; rows/lanes >= d are zero padding
+    m, r, c = S.shape
+    row3 = lax.broadcasted_iota(jnp.int32, (m, r, c), 1)
+    col3 = lax.broadcasted_iota(jnp.int32, (m, r, c), 2)
+    riota = lax.broadcasted_iota(jnp.int32, (m, r), 1)  # sublane ids
+    liota = lax.broadcasted_iota(jnp.int32, (m, c), 1)  # lane ids
+
+    # ---- Cholesky (right-looking), maintaining L and L^T ----
+    def chol_step(j, carry):
+        S, L, Lt, dl = carry
+        # row j of S == column j of S (S stays symmetric under c c^T)
+        rowv = jnp.sum(jnp.where(row3 == j, S, 0.0), axis=1)  # (M, C)
+        colv = jnp.sum(jnp.where(col3 == j, S, 0.0), axis=2)  # (M, R)
+        dsq = jnp.sum(jnp.where(liota == j, rowv, 0.0), axis=1)  # (M,)
+        dj = jnp.sqrt(dsq)
+        inv = 1.0 / dj
+        # column j of L: d at row j, col[i]/d below, 0 above (col[j]=dsq
+        # so col[j]/d = d — the >= mask covers the diagonal too)
+        csub = jnp.where(riota >= j, colv * inv[:, None], 0.0)  # (M, R)
+        clan = jnp.where(liota >= j, rowv * inv[:, None], 0.0)  # (M, C)
+        L = L + csub[:, :, None] * (col3 == j)
+        Lt = Lt + (row3 == j) * clan[:, None, :]
+        dl = dl + jnp.where(liota == j, dj[:, None], 0.0)
+        # trailing update; the masks in csub/clan already restrict it to
+        # rows/cols >= j, and the (j, j) entry is re-derived next steps
+        # only from rows/cols > j, so subtracting on row/col j is dead.
+        S = S - csub[:, :, None] * clan[:, None, :]
+        return S, L, Lt, dl
+
+    zero3 = jnp.zeros_like(S)
+    dlan0 = jnp.zeros((m, c), jnp.float32)
+    _, L, Lt, dlan = lax.fori_loop(
+        0, d, chol_step, (S, zero3, zero3, dlan0), unroll=True
+    )
+
+    # ---- forward substitution X = L^{-1} (lower) ----
+    def sub_step(i, X):
+        w = jnp.sum(jnp.where(col3 == i, Lt, 0.0), axis=2)  # (M, R) row i of L
+        dinv = 1.0 / jnp.sum(jnp.where(riota == i, w, 0.0), axis=1)  # (M,)
+        wlow = jnp.where(riota < i, w, 0.0)
+        acc = jnp.sum(wlow[:, :, None] * X, axis=1)  # (M, C)
+        ei = (liota == i).astype(jnp.float32)
+        newrow = (ei - acc) * dinv[:, None]
+        return X + (row3 == i) * newrow[:, None, :]
+
+    X = lax.fori_loop(0, d, sub_step, zero3, unroll=True)
+    x_ref[...] = X
+    diag_ref[...] = dlan
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def precision_chol_pallas(covs, d: int):
+    """(..., d, d) SPD f32 -> (P^T lower (..., d, d) f32, chol diag (..., d)).
+
+    P^T = solve_triangular(cholesky(cov), I, lower=True); logdet of the
+    precision Cholesky is -sum(log(diag), -1). One kernel launch for the
+    whole batch.
+    """
+    lead = covs.shape[:-2]
+    m = 1
+    for s in lead:
+        m *= s
+    r = -(-max(d, 8) // 8) * 8
+    s = jnp.zeros((m, r, _LANES), jnp.float32)
+    s = s.at[:, :d, :d].set(covs.reshape(m, d, d).astype(jnp.float32))
+    x, diag = pl.pallas_call(
+        functools.partial(_kernel, d=d),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, r, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m, _LANES), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled 2x39-step factorization keeps ~a dozen
+            # (M, R, 128) f32 temporaries live across steps — measured
+            # 30.6 MB scoped-vmem stack at config2 scale, past the 16 MB
+            # default; an allowance, not an allocation (same treatment as
+            # connectivity_pallas.py).
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(s)
+    pt = x[:, :d, :d].reshape(*lead, d, d)
+    return pt, diag[:, :d].reshape(*lead, d)

@@ -287,17 +287,34 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool,
     )
 
 
+# One-launch Pallas Cholesky+inverse for the per-iteration glue below —
+# the measured config2 floor (BASELINE.md 2026-08-20): XLA's factorization
+# pair costs 0.20-0.32 ms/EM-iteration of serial-chain latency x ~28 tol
+# iterations. OFF until measured faster on TPU (tests/test_chol_pallas.py
+# pins parity either way).
+_PALLAS_CHOL = False
+
+
 def _params_to_kernel_inputs(weights, means, covs, d: int, dp: int, k: int):
     """(B, k), (B, k, d), (B, k, d, d) -> (A, bias, const) kernel operands.
 
     A_j = P_j^T where P_j = solve_triangular(chol(cov_j), I).T is sklearn's
     precision Cholesky; logdet P_j = -sum log diag chol_j."""
     b = weights.shape[0]
-    chol = jnp.linalg.cholesky(covs)  # (B, k, d, d) lower
-    eye = jnp.eye(d, dtype=covs.dtype)
-    pt = jax.scipy.linalg.solve_triangular(  # = P^T (lower)
-        chol, jnp.broadcast_to(eye, (b, k, d, d)), lower=True
-    )
+    if _PALLAS_CHOL:
+        from gabor_color_image_segmentation_tpu.models.chol_pallas import (
+            precision_chol_pallas,
+        )
+
+        pt, chol_diag = precision_chol_pallas(covs, d=d)
+        pt = pt.astype(covs.dtype)
+    else:
+        chol = jnp.linalg.cholesky(covs)  # (B, k, d, d) lower
+        chol_diag = jnp.diagonal(chol, axis1=2, axis2=3)
+        eye = jnp.eye(d, dtype=covs.dtype)
+        pt = jax.scipy.linalg.solve_triangular(  # = P^T (lower)
+            chol, jnp.broadcast_to(eye, (b, k, d, d)), lower=True
+        )
     a = jnp.zeros((b, k, dp, dp), jnp.float32)
     a = a.at[:, :, :d, :d].set(pt.astype(jnp.float32))
     a = a.reshape(b, k * dp, dp)
@@ -308,9 +325,7 @@ def _params_to_kernel_inputs(weights, means, covs, d: int, dp: int, k: int):
     # bias feeds the Mahalanobis directly (repo precision policy)
     bias_full = jnp.zeros((b, k, dp), jnp.float32).at[:, :, :d].set(bias)
     bias_full = bias_full.reshape(b, k * dp, 1)
-    logdet = -jnp.sum(
-        jnp.log(jnp.diagonal(chol, axis1=2, axis2=3)), axis=2
-    )  # (B, k)
+    logdet = -jnp.sum(jnp.log(chol_diag), axis=2)  # (B, k)
     const = jnp.log(weights) + logdet - 0.5 * d * _LOG2PI
     const_full = jnp.zeros((b, _KP, 1), jnp.float32).at[:, :k, 0].set(const)
     return a, bias_full, const_full
