@@ -37,9 +37,12 @@ variable-height, nothing reshaped across the sublane tiling (CLAUDE.md
 Mosaic rule). VMEM: 5 live (M, R, 128) f32 buffers at config2 scale
 (M=40, R=40) is ~3.2 MB.
 
-Production status: default OFF (`_PALLAS_CHOL` in models/gmm_pallas.py)
-until measured on TPU; parity-tested against the XLA factorization in
-tests/test_chol_pallas.py.
+Production status: ON (`_PALLAS_CHOL` in models/gmm_pallas.py), TPU
+backend only. Measured 2026-08-20 (exp_chol_pallas.py): 0.256 vs 0.437
+ms/op standalone (~2.8x fence-subtracted); config2 e2e 61.5 -> 86.6 MP/s
+with production-schedule golden agreement 0.9994 (0.9995 with the XLA
+glue — one image's f32-reorder pixels). Parity-tested against the XLA
+factorization in tests/test_chol_pallas.py.
 """
 
 from __future__ import annotations

@@ -290,9 +290,10 @@ def _em_pass(xt, a, bias, const, k: int, block: int, n: int, interpret: bool,
 # One-launch Pallas Cholesky+inverse for the per-iteration glue below —
 # the measured config2 floor (BASELINE.md 2026-08-20): XLA's factorization
 # pair costs 0.20-0.32 ms/EM-iteration of serial-chain latency x ~28 tol
-# iterations. OFF until measured faster on TPU (tests/test_chol_pallas.py
-# pins parity either way).
-_PALLAS_CHOL = False
+# iterations. ON (TPU only): measured 2026-08-20, config2 e2e 61.5 -> 86.6
+# MP/s, production-schedule golden agreement 0.9994 vs 0.9995 with XLA
+# (exp_chol_pallas.py, exp_gmm_fused_parity.py A/B same session).
+_PALLAS_CHOL = True
 
 
 def _params_to_kernel_inputs(weights, means, covs, d: int, dp: int, k: int):
@@ -301,7 +302,12 @@ def _params_to_kernel_inputs(weights, means, covs, d: int, dp: int, k: int):
     A_j = P_j^T where P_j = solve_triangular(chol(cov_j), I).T is sklearn's
     precision Cholesky; logdet P_j = -sum log diag chol_j."""
     b = weights.shape[0]
-    if _PALLAS_CHOL:
+    if _PALLAS_CHOL and jax.default_backend() == "tpu":
+        # TPU only: on CPU the kernel would run per-EM-iteration in Pallas
+        # interpret mode (hundreds of eagerly-executed ops per call —
+        # suite-hostile); the XLA pair below is the same math in f32, and
+        # tests/test_chol_pallas.py pins the kernel's own parity in
+        # interpret mode.
         from gabor_color_image_segmentation_tpu.models.chol_pallas import (
             precision_chol_pallas,
         )
