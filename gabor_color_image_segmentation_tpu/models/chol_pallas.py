@@ -117,6 +117,13 @@ def precision_chol_pallas(covs, d: int):
     precision Cholesky is -sum(log(diag), -1). One kernel launch for the
     whole batch.
     """
+    if d > _LANES:
+        # the kernel packs each d x d matrix into one (R, 128)-lane tile;
+        # d past the lane width needs a blocked variant (advisor r4 low)
+        raise ValueError(
+            f"precision_chol_pallas supports d <= {_LANES} (got d={d}); "
+            "use the XLA cholesky/solve_triangular pair for larger d"
+        )
     lead = covs.shape[:-2]
     m = 1
     for s in lead:

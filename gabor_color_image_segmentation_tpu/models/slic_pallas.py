@@ -468,6 +468,8 @@ def slic_fused(
     5-row bands). Only consulted when the image qualifies for the
     whole-image launch; the launch-per-pass banded loop is plan-free.
     """
+    if plan not in ("auto", "w3", "w5"):
+        raise ValueError(f"unknown SLIC plan {plan!r}")
     b, h, w, _ = lab.shape
     bp = _plan(h, w, n_superpixels)
     if bp is None:
@@ -561,8 +563,6 @@ def slic_fused(
         # launch-per-pass banded loop below
         s_pad = -(-n_sp // 8) * 8
         cw0_pad = jnp.pad(cw0, ((0, 0), (0, s_pad - n_sp), (0, 0)))
-        if plan not in ("auto", "w3", "w5"):
-            raise ValueError(f"unknown SLIC plan {plan!r}")
         if plan == "w3" or (plan == "auto" and _W3_FUSED):
             # cell-aligned bands, 3-grid-row candidate window (~1.8x less
             # VPU window work — see _slic_all_kernel_w3); pen_y rebuilt
@@ -657,6 +657,16 @@ def slic_fused(
             interpret=interpret,
         )(z_pack, cw0_pad, pen)
         return labels.reshape(b, n_bands * band_rows, wp)[:, :h, :w]
+
+    if plan != "auto":
+        # an explicit w3/w5 request cannot be honored on the plan-free
+        # launch-per-pass banded path — raising keeps A/B callers from
+        # believing they measured a plan that never ran (advisor r4 low)
+        raise ValueError(
+            f"plan={plan!r} requested but image ({h}x{w}) exceeds the "
+            "whole-image fuse gate; the banded fallback is plan-free — "
+            "pass plan='auto'"
+        )
 
     def gather_cands(cw):  # (B, S, _C) -> (B, n_bands, _CAND, _C)
         outs = []

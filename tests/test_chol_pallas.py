@@ -64,3 +64,14 @@ def test_matches_gmm_glue_exactly_enough():
     np.testing.assert_allclose(
         np.asarray(logdet), np.asarray(logdet_ref), rtol=1e-5, atol=1e-4
     )
+
+
+def test_d_past_lane_width_raises():
+    """d > 128 would scatter past the (R, 128) lane tile — must fail
+    loudly with an actionable message, not an opaque shape error
+    (advisor r4 low #1)."""
+    import pytest
+
+    covs = jnp.eye(130)[None]
+    with pytest.raises(ValueError, match="d <= 128"):
+        precision_chol_pallas(covs, d=130)

@@ -440,8 +440,10 @@ def test_tiled_real_config1_bank_geometry(mesh8):
     two different fixed points. kmeans_sharded now mirrors the production
     multigrid (strip-local pooling + psum'd moments at every level), the
     test passes at the untiled agreement standard, and it is promoted out
-    of the GCIS_SLOW_TESTS gate (the 4-test geometry group runs in ~1 min
-    on the fake mesh; PARITY.md records the run)."""
+    of the GCIS_SLOW_TESTS gate (the geometry group costs ~4.5 min of the
+    ~15 min suite on this 1-core box — measured r4; accepted as the price
+    of keeping representative-geometry coverage in the default suite;
+    PARITY.md records the run)."""
     cfg = preset("config1").replace(feature_impl="modulated")
     bank = make_bank(cfg.bank)
     h, w = 320, 480  # strips of 40 rows > the 24-row max halo
