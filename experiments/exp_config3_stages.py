@@ -108,6 +108,21 @@ def main():
     )(lab)
     fence(sp.astype(jnp.float32))
 
+    from gabor_color_image_segmentation_tpu.models.connectivity_pallas import (
+        enforce_connectivity_fused,
+    )
+
+    timeit("connectivity (fused kernel)", loop(
+        lambda i, s: jnp.sum(
+            enforce_connectivity_fused(
+                jnp.where(s >= 0, s, i), n_sp
+            ).astype(jnp.float32)
+        )
+    ), sp)
+
+    sp = jax.jit(lambda s: enforce_connectivity_fused(s, n_sp))(sp)
+    fence(sp.astype(jnp.float32))
+
     def means_aff(i, f, s):
         def per(fi, si):
             fm, cnts = superpixel_means(

@@ -74,7 +74,8 @@ def main():
     # mirror the production graph path (models/graph.py:graph_segment_batch):
     # cv2-semantics connectivity enforcement runs between SLIC and n-cut
     sp_g = enforce_connectivity_golden(sp_g, n_sp=gh * gw, s_max=gh * gw)
-    gold3 = ncut_golden(feats_g, sp_g, g.n_regions, g.affinity_sigma, gh * gw)
+    gold3 = ncut_golden(feats_g, sp_g, g.n_regions, g.affinity_sigma, gh * gw,
+                        g.affinity_sigma_scale)
     labels3, _ = segment_image(rgb, cfg3)
     print(f"config3 fp32 vs golden agreement: {agreement(labels3, gold3):.4f}",
           flush=True)

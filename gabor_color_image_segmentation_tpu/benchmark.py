@@ -110,7 +110,8 @@ def measure_cpu_golden(cfg, batch: np.ndarray, n_images: int = 1) -> float:
                 slic_golden(lab, g.n_superpixels, g.slic_compactness, g.slic_iters)
             )
             gh, gw, _ = grid_shape(h, w, g.n_superpixels)
-            ncut_golden(feats, sp, g.n_regions, g.affinity_sigma, gh * gw)
+            ncut_golden(feats, sp, g.n_regions, g.affinity_sigma, gh * gw,
+                            g.affinity_sigma_scale)
             continue
         feats = features_golden(batch[i], cfg.bank, c, bank=bank)
         h, w, d = feats.shape

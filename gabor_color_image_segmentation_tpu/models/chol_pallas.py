@@ -58,8 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
-def _kernel(s_ref, x_ref, diag_ref, *, d: int):
-    S = s_ref[...]  # (M, R, C) f32; rows/lanes >= d are zero padding
+def _factorize(S, d: int):
+    """(M, R, C) f32 SPD (rows/lanes >= d zero) -> (X = L^{-1} lower,
+    dlan = diag(L) on lanes). The shared body of both kernels below."""
     m, r, c = S.shape
     row3 = lax.broadcasted_iota(jnp.int32, (m, r, c), 1)
     col3 = lax.broadcasted_iota(jnp.int32, (m, r, c), 2)
@@ -105,8 +106,125 @@ def _kernel(s_ref, x_ref, diag_ref, *, d: int):
         return X + (row3 == i) * newrow[:, None, :]
 
     X = lax.fori_loop(0, d, sub_step, zero3, unroll=True)
+    return X, dlan
+
+
+def _kernel(s_ref, x_ref, diag_ref, *, d: int):
+    X, dlan = _factorize(s_ref[...], d)
     x_ref[...] = X
     diag_ref[...] = dlan
+
+
+def _params_kernel(
+    c_ref,  # (M, R, C) f32 moment-scatter matrices: C[r, l] =
+    #         sum_px x_r resp x_l with the ones-row at index d (row d =
+    #         resp-weighted sums, C[d, d] = count) — exactly _em_pass's
+    #         per-(image, component) covs output
+    x_ref,  # (M, R, C) f32 out: P^T lower (precision Cholesky transpose)
+    diag_ref,  # (M, C) f32 out: diag(chol(cov)) on lanes
+    bias_ref,  # (M, R) f32 out: P^T_j @ mu_j rows
+    const_ref,  # (M, C) f32 out: per-matrix log w + logdet - d/2 log2pi,
+    #             broadcast over lanes (consumers read lane 0)
+    *,
+    d: int,
+    m_rows: int,
+    reg_covar: float,
+):
+    """Moments -> sklearn GMM params -> factorization, one launch.
+
+    Fuses _moments_to_params + _params_to_kernel_inputs (models/
+    gmm_pallas.py) into the factorization kernel: per EM iteration the
+    XLA program shrinks from [moments->params fusion][chol launch]
+    [bias/const fusion][EM launch] to [this launch][EM launch]. All
+    params math is elementwise f32 on the (M, R, C) layout — identical
+    values to the XLA expressions (same divisions, same products); only
+    the bias reduction ORDER differs from the XLA einsum (both exact-f32
+    accumulation)."""
+    C = c_ref[...]
+    m, r, c = C.shape
+    row3 = lax.broadcasted_iota(jnp.int32, (m, r, c), 1)
+    col3 = lax.broadcasted_iota(jnp.int32, (m, r, c), 2)
+    riota = lax.broadcasted_iota(jnp.int32, (m, r), 1)
+    liota = lax.broadcasted_iota(jnp.int32, (m, c), 1)
+
+    # Shape discipline (Mosaic layout inference): only the broadcast
+    # patterns the factorization body already exercises — single-axis
+    # reductions, rank-1 [:, None] against rank-2, rank-2 [:, None, :] /
+    # [:, :, None] against rank-3. A rank-1 [:, None, None] broadcast to
+    # rank-3 CRASHED the Mosaic compiler ("Check failed: arr.size() >=
+    # layout_rank" in VectorLayout::join, 2026-08-20) — another case of
+    # the CLAUDE.md rule that interpret-mode CI cannot catch Mosaic
+    # legality.
+    # sklearn _estimate_gaussian_parameters: nk = counts + 10 eps
+    rowd = jnp.sum(jnp.where(row3 == d, C, 0.0), axis=1)  # (M, C) sums
+    nk = jnp.sum(
+        jnp.where(liota == d, rowd, 0.0), axis=1
+    ) + 10.0 * jnp.finfo(jnp.float32).eps  # (M,) counts
+    mu = jnp.where(liota < d, rowd / nk[:, None], 0.0)  # (M, C) means
+    cold = jnp.sum(jnp.where(col3 == d, C, 0.0), axis=2)  # (M, R)
+    mu_sub = jnp.where(riota < d, cold / nk[:, None], 0.0)  # (M, R)
+    nk_row = nk[:, None] + jnp.zeros((m, c), jnp.float32)  # (M, C)
+    exx = C / nk_row[:, None, :]
+    cov = exx - mu_sub[:, :, None] * mu[:, None, :]
+    cov = cov + jnp.float32(reg_covar) * (row3 == col3).astype(jnp.float32)
+    S = jnp.where((row3 < d) & (col3 < d), cov, 0.0)
+
+    X, dlan = _factorize(S, d)
+
+    x_ref[...] = X
+    diag_ref[...] = dlan
+    bias_ref[...] = jnp.sum(X * mu[:, None, :], axis=2)  # (M, R)
+    safe = jnp.where(liota < d, dlan, 1.0)
+    logdet = -jnp.sum(jnp.where(liota < d, jnp.log(safe), 0.0), axis=1)
+    constv = (
+        jnp.log(nk / jnp.float32(m_rows)) + logdet
+        - 0.5 * d * 1.8378770664093453
+    )  # (M,)
+    const_ref[...] = constv[:, None] + jnp.zeros((m, c), jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("d", "m_rows", "reg_covar")
+)
+def precision_chol_params_pallas(moments, d: int, m_rows: int,
+                                 reg_covar: float):
+    """(B, k, dp, dp) f32 moment-scatter (ones-row at index d) ->
+    (P^T (M, dp, 128), chol diag (M, 128), bias rows (M, dp),
+    const (M, 128) lane-broadcast), M = B*k — the fused
+    moments->params->factorization launch (see _params_kernel)."""
+    b, k, dp, dp2 = moments.shape
+    if dp != dp2:
+        raise ValueError(f"square moment matrices required, got {dp}x{dp2}")
+    if dp > _LANES:
+        raise ValueError(
+            f"precision_chol_params_pallas supports dp <= {_LANES} "
+            f"(got {dp})"
+        )
+    if d >= dp or dp % 8:
+        raise ValueError(f"need ones-row index d < dp, dp % 8 == 0 "
+                         f"(d={d}, dp={dp})")
+    m = b * k
+    s = jnp.zeros((m, dp, _LANES), jnp.float32)
+    s = s.at[:, :, :dp].set(moments.reshape(m, dp, dp).astype(jnp.float32))
+    x, diag, bias, const = pl.pallas_call(
+        functools.partial(
+            _params_kernel, d=d, m_rows=m_rows, reg_covar=reg_covar
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, dp, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m, dp), jnp.float32),
+            jax.ShapeDtypeStruct((m, _LANES), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            # same scoped-vmem allowance story as precision_chol_pallas
+            # (30.6 MB measured stack at M=40, R=40; R=48 here plus the
+            # params-prep temporaries) — an allowance, not an allocation
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+    )(s)
+    return x, diag, bias, const
 
 
 @functools.partial(jax.jit, static_argnames=("d",))

@@ -347,6 +347,58 @@ def _moments_to_params(msums, covs, d: int, n: int, k: int, reg_covar: float):
     return nk / n, means, cov
 
 
+# Fused per-iteration prep (round 5, VERDICT r4 task 3): run
+# _moments_to_params + the factorization + the bias/const assembly as ONE
+# Pallas launch (chol_pallas._params_kernel), so each tol-loop iteration
+# is [params launch][EM launch] instead of four program segments.
+#
+# STATUS: OFF — measured SLOWER end-to-end (2026-08-20, two independent
+# sessions of the production-shape solver slope A/B, min-of-10, both
+# orders): fused 0.266-0.274 vs standard 0.208-0.214 ms/EM-iteration,
+# even though the fused launch standalone (0.096) matches the XLA
+# prep+glue chain it replaces (0.102) and sub-0.1 ms micro-slopes through
+# this tunnel are noise-dominated. The three-segment chain evidently
+# already overlaps with the EM launch better than one long kernel does.
+# Kept (with tests/test_chol_pallas.py::test_params_kernel_matches_xla +
+# tests/test_gmm.py::test_fused_prep_matches_standard_loop pinning
+# parity) as the documented record of VERDICT r4 task 3's lever — the
+# same kept-dead-end pattern as kmeans_pallas v1/v2. The remaining
+# boundary/overlap residual is ~0.03-0.05 ms/iter (~1.3 ms of the 14.3
+# ms e2e budget, exp_gmm_iterbudget.py) — the most ANY further fusion
+# could recover; the rest is measured body work (EM pass 0.058 at the
+# MXU ceiling, factorization chain 0.066 at its serial VPU latency,
+# params prep 0.059 at XLA's small-op floor).
+_FUSED_PREP = False
+
+
+def _use_fused_prep() -> bool:
+    # TPU-only by default (per-iteration interpret-mode kernels are
+    # suite-hostile on CPU); tests monkeypatch this to force the fused
+    # path in interpret mode (then clear gmm_fused_t_xt's jit cache —
+    # the gate is read at trace time).
+    return _FUSED_PREP and _PALLAS_CHOL and jax.default_backend() == "tpu"
+
+
+def _params_from_moments_fused(covsM, d: int, dp: int, k: int, m_rows: int,
+                               reg_covar: float):
+    """(B, k, dp, dp) moment-scatter (ones-row at d) -> (a, bias, const)
+    _em_pass operands via the single fused launch."""
+    from gabor_color_image_segmentation_tpu.models.chol_pallas import (
+        precision_chol_params_pallas,
+    )
+
+    b = covsM.shape[0]
+    x, _, bias, const = precision_chol_params_pallas(
+        covsM, d, m_rows, reg_covar
+    )
+    a = x.reshape(b, k * dp, x.shape[-1])[:, :, :dp]
+    bias_full = bias.reshape(b, k * dp, 1)
+    const_full = jnp.zeros((b, _KP, 1), jnp.float32).at[:, :k, 0].set(
+        const[:, 0].reshape(b, k)
+    )
+    return a, bias_full, const_full
+
+
 def _init_moments(xt, labels, k: int, d: int):
     """Hard-assignment moments of the k-means init (resp = one-hot).
 
@@ -468,15 +520,30 @@ def gmm_fused_t_xt(
     )
     lab_pad = lab_pad.at[:, m:].set(-1)  # padded pixels vote for nobody
     msums0, covs0 = _init_moments(fit_buf, lab_pad, k, d)
-    params0 = _moments_to_params(msums0, covs0, d, m, k, reg_covar)
+    fused_prep = _use_fused_prep()
+    if fused_prep:
+        # loop state = the moment-scatter matrices themselves (they carry
+        # counts/sums/scatter — the fused launch derives params in-kernel)
+        params0 = covs0
 
-    def em(params):
-        a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
-        labels, ll, msums, covs = _em_pass(
-            fit_buf, a, bias, const, k, block_f, m, interpret, d
-        )
-        new = _moments_to_params(msums, covs, d, m, k, reg_covar)
-        return new, ll / m, labels  # (B,) per-image mean log-likelihood
+        def em(covsM):
+            a, bias, const = _params_from_moments_fused(
+                covsM, d, dp, k, m, reg_covar
+            )
+            labels, ll, msums, covs = _em_pass(
+                fit_buf, a, bias, const, k, block_f, m, interpret, d
+            )
+            return covs, ll / m, labels
+    else:
+        params0 = _moments_to_params(msums0, covs0, d, m, k, reg_covar)
+
+        def em(params):
+            a, bias, const = _params_to_kernel_inputs(*params, d, dp, k)
+            labels, ll, msums, covs = _em_pass(
+                fit_buf, a, bias, const, k, block_f, m, interpret, d
+            )
+            new = _moments_to_params(msums, covs, d, m, k, reg_covar)
+            return new, ll / m, labels  # (B,) per-image mean log-likelihood
 
     ll0 = jnp.full((b,), -jnp.inf, jnp.float32)
     if tol == 0.0:
@@ -506,13 +573,28 @@ def gmm_fused_t_xt(
         def body(i, carry):
             params, prev_ll, go_b = carry
             new, ll, _ = em(params)
-            params = tuple(freeze(go_b, n_, o_) for n_, o_ in zip(new, params))
+            if isinstance(new, tuple):
+                params = tuple(
+                    freeze(go_b, n_, o_) for n_, o_ in zip(new, params)
+                )
+            else:  # fused-prep state: the moment-scatter array itself
+                params = freeze(go_b, new, params)
             ll = jnp.where(go_b, ll, prev_ll)
             go_b = go_b & (jnp.abs(ll - prev_ll) >= tol)
             return params, ll, go_b
 
         go0 = jnp.full((b,), n_iter > 0)
         params, _, _ = lax.fori_loop(0, n_iter, body, (params0, ll0, go0))
+
+    if fused_prep:
+        # the loop carried moments; the refine/label tail below speaks
+        # sklearn params — derive them once (the ones-row of each scatter
+        # matrix is the msums row, its (d, d) entry the count)
+        covsM = params
+        msums = jnp.zeros((b, _KP, dp), jnp.float32).at[:, :k].set(
+            covsM[:, :, d, :]
+        )
+        params = _moments_to_params(msums, covsM, d, m, k, reg_covar)
 
     # full-resolution refinement passes (see docstring); unrolled — small
     for _ in range(refine_iters):

@@ -92,8 +92,13 @@ def affinity_matrix(
     f: jnp.ndarray,
     sigma: float | None = None,
     counts: jnp.ndarray | None = None,
+    sigma_scale: float = 1.0,
 ) -> jnp.ndarray:
-    """(S, D) -> (S, S) Gaussian affinity; sigma=None -> median heuristic.
+    """(S, D) -> (S, S) Gaussian affinity; sigma=None -> median heuristic,
+    with ``sigma_scale`` multiplying the median bandwidth (sigma^2 =
+    sigma_scale * median(d2) — GraphConfig.affinity_sigma_scale; the
+    round-5 diagnosis measured the raw median ~4x too soft for boundary
+    quality). Ignored when ``sigma`` is explicit.
 
     Empty superpixels (counts == 0) get an all-zero affinity row/col — NO
     self-loop. With the degree clamp in spectral_labels this puts each dead
@@ -117,8 +122,20 @@ def affinity_matrix(
     )
     d2 = jnp.maximum(d2, 0.0)
     if sigma is None:
-        med = jnp.median(d2)
-        s2 = jnp.maximum(med, 1e-12)
+        s = d2.shape[0]
+        # TPU sorts are the hidden cost of the exact median at the
+        # round-5 geometry: jnp.median over the full (928, 928) matrix
+        # measured 11.8 ms/batch-8 (~1/3 of the config3 e2e budget) while
+        # every other affinity op is sub-ms. A 4x4-strided subsample
+        # (54k entries at S=928) estimates the same statistic to ~1-2%
+        # — far inside the flat region of the sigma_scale sweep
+        # (exp_config3_remedy.py: F moves < 0.03 across a 5x scale
+        # range) — at 1/16 the sort. Small graphs keep the exact median
+        # (bit-compat with every pre-round-5 number); golden mirrors the
+        # identical stride rule.
+        d2m = d2[::4, ::4] if s > 512 else d2
+        med = jnp.median(d2m)
+        s2 = jnp.maximum(med, 1e-12) * sigma_scale
     else:
         s2 = 2.0 * sigma * sigma
     w = jnp.exp(-d2 / s2)
@@ -215,12 +232,13 @@ def ncut_regions(
     n_regions: int,
     affinity_sigma: float | None = None,
     eig_method: str = "auto",
+    sigma_scale: float = 1.0,
 ) -> jnp.ndarray:
     """(H,W,D) features + (H,W) superpixel labels -> (S,) region ids."""
     h, w, d = features.shape
     flat_sp = sp.reshape(-1)
     f, cnts = superpixel_means(features.reshape(-1, d), flat_sp, n_sp)
-    aff = affinity_matrix(f, affinity_sigma, cnts)
+    aff = affinity_matrix(f, affinity_sigma, cnts, sigma_scale)
     return spectral_labels(aff, n_regions, eig_method=eig_method)  # (S,)
 
 
@@ -231,11 +249,13 @@ def ncut_from_superpixels(
     n_regions: int,
     affinity_sigma: float | None = None,
     eig_method: str = "auto",
+    sigma_scale: float = 1.0,
 ) -> jnp.ndarray:
     """(H,W,D) features + (H,W) superpixel labels -> (H,W) int32 regions."""
     h, w, _ = features.shape
     regions = ncut_regions(
-        features, sp, n_sp, n_regions, affinity_sigma, eig_method
+        features, sp, n_sp, n_regions, affinity_sigma, eig_method,
+        sigma_scale,
     )
     return regions[sp.reshape(-1)].reshape(h, w).astype(jnp.int32)
 
@@ -249,6 +269,7 @@ def ncut_segment(
     slic_iters: int = 10,
     affinity_sigma: float | None = None,
     eig_method: str = "auto",
+    sigma_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Single image: (H,W,D) features + (H,W,3) Lab -> (H,W) int32 regions."""
     h, w, _ = features.shape
@@ -261,7 +282,8 @@ def ncut_segment(
     gh, gw, _ = grid_shape(h, w, n_superpixels)
     sp = enforce_connectivity_device(sp[None], gh * gw)[0]
     return ncut_from_superpixels(
-        features, sp, gh * gw, n_regions, affinity_sigma, eig_method
+        features, sp, gh * gw, n_regions, affinity_sigma, eig_method,
+        sigma_scale,
     )
 
 
@@ -308,13 +330,45 @@ def graph_segment_batch(
             sp = enforce_connectivity_fused(sp, gh * gw)
         else:
             sp = enforce_connectivity_device(sp, gh * gw)
-        # superpixel moments stay on the XLA one-hot matmul: the Pallas
-        # variant (models/graph_pallas.py) measured SLOWER — see its
-        # STATUS note
-        fn = lambda f, s: ncut_regions(
-            f, s, gh * gw, g.n_regions, g.affinity_sigma, eig_method
-        )
-        regions = jax.vmap(fn)(features, sp)  # (B, S)
+        n_sp = gh * gw
+        if (
+            jax.default_backend() == "tpu"
+            and features.dtype == jnp.bfloat16
+        ):
+            # round 5: the transposed-output Pallas moments kernel. At the
+            # remedy geometry (S=925) the XLA one-hot matmul materializes
+            # ~286 MB/image and measured 17.7 ms/batch-8 (5x its S=384
+            # cost, exp_config3_stages 2026-08-20); the kernel builds
+            # one-hot tiles in VMEM and is MXU-bound at ~1.1x padding
+            # (graph_pallas.py — the OLD (S, chunk)@(chunk, D) orientation
+            # measured slower at S=384 from its 3.2x output-lane padding;
+            # the transposed orientation removed it). fp32 parity mode
+            # keeps the XLA HIGHEST route.
+            from gabor_color_image_segmentation_tpu.models.graph_pallas import (
+                superpixel_moments_fused_t,
+            )
+
+            d = features.shape[-1]
+            sums, cnts = superpixel_moments_fused_t(
+                sp.reshape(b, h * w), features.reshape(b, h * w, d), n_sp
+            )
+            means = sums / jnp.maximum(cnts, 1.0)[:, :, None]
+
+            def cut(mn, ct):
+                aff = affinity_matrix(
+                    mn, g.affinity_sigma, ct, g.affinity_sigma_scale
+                )
+                return spectral_labels(
+                    aff, g.n_regions, eig_method=eig_method
+                )
+
+            regions = jax.vmap(cut)(means, cnts)  # (B, S)
+        else:
+            fn = lambda f, s: ncut_regions(
+                f, s, n_sp, g.n_regions, g.affinity_sigma, eig_method,
+                g.affinity_sigma_scale,
+            )
+            regions = jax.vmap(fn)(features, sp)  # (B, S)
         # pixel broadcast via the Pallas table-lookup kernel: XLA's dynamic
         # gather of the (S,) table costs ~9 ms/batch-8 (measured)
         return (

@@ -113,3 +113,164 @@ def superpixel_moments_fused(
         ),
     )(idx_p, f_p)
     return out[:, :n_sp, :d], out[:, :n_sp, d]
+
+
+# ---------------------------------------------------------------------------
+# Transposed-output variant — PRODUCTION at round-5 geometry
+# ---------------------------------------------------------------------------
+#
+# The round-5 config3 remedy (900 superpixels) flipped the trade the
+# STATUS note above records: at S=925 the XLA one-hot matmul's HBM
+# traffic is ~286 MB/image (measured 17.7 ms/batch-8, exp_config3_stages
+# 2026-08-20 — 5x its S=384 cost), while the kernel's cost is MXU issue.
+# The old kernel's 3.2x waste was the OUTPUT lane dim (d+1 = 40 -> 128
+# pad); this variant contracts the pixel chunk on the LANE axis of both
+# operands (the EM kernel's dot_t pattern) so the output is
+# (d+1 sublanes, s_pad lanes) — sublane pad 40/40 exact, lane pad
+# 928 -> 1024 (1.1x). Features arrive PRE-TRANSPOSED (B, d+1, N) with the
+# ones row at index d (the xt-style layout; one ~96 MB relayout at
+# config3 scale). The one-hot tile build stays (s_pad, chunk) — cheap
+# lane-iota against the (1, chunk) label row.
+
+
+def _moments_t_kernel(idx_ref, f_ref, out_ref):
+    c = pl.program_id(1)
+    idx = idx_ref[0, 0].reshape(1, -1)  # (1, chunk) int32, -1 on padding
+    feats = f_ref[0]  # (d+1, chunk) bf16, ones row at index d
+    s_pad = out_ref.shape[2]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_pad, idx.shape[1]), 0) == idx
+    ).astype(jnp.bfloat16)  # (s_pad, chunk) exact 0/1
+    part = jax.lax.dot_general(
+        feats, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (d+1, s_pad) f32
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[0] = part
+
+    @pl.when(c != 0)
+    def _acc():
+        out_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def superpixel_moments_fused_t(
+    idx: jnp.ndarray, feats: jnp.ndarray, n_sp: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, N) int32 labels + (B, N, D) features -> ((B, S, D) f32 sums,
+    (B, S) f32 counts) via the transposed-output kernel above. Labels
+    outside [0, n_sp) contribute to no bucket."""
+    b, n = idx.shape
+    d = feats.shape[-1]
+    dp = -(-(d + 1) // 8) * 8
+    s_pad = max(128, -(-n_sp // 128) * 128)
+    n_pad = -(-n // _CHUNK) * _CHUNK
+    nc = n_pad // _CHUNK
+
+    idx_p = (
+        jnp.full((b, n_pad), -1, jnp.int32)
+        .at[:, :n]
+        .set(idx)
+        .reshape(b, nc, 8, _CHUNK // 8)
+    )
+    f_t = jnp.zeros((b, dp, n_pad), jnp.bfloat16)
+    f_t = f_t.at[:, :d, :n].set(
+        jnp.swapaxes(feats.astype(jnp.bfloat16), 1, 2)
+    )
+    f_t = f_t.at[:, d, :n].set(jnp.bfloat16(1.0))
+
+    out = pl.pallas_call(
+        _moments_t_kernel,
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, _CHUNK // 8), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, dp, _CHUNK), lambda i, c: (i, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((1, dp, s_pad), lambda i, c: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, dp, s_pad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(idx_p, f_t)
+    return (
+        jnp.swapaxes(out[:, :d, :n_sp], 1, 2),  # (B, S, D) sums
+        out[:, d, :n_sp],  # (B, S) counts
+    )
+
+
+# NHWC-input variant: identical math to superpixel_moments_fused_t but the
+# features arrive in their native (B, N, D) layout — staging is a lane PAD
+# (39 -> 48 + ones column), not a transpose. The _t variant's
+# (B, N, D) -> (B, dp, N) swapaxes staging measured ~15-20 ms/batch-8 at
+# config3 full-res (the classic full-res relayout cost the kmeans paths
+# were redesigned around), cancelling everything the kernel saved; the
+# dot here contracts the lhs SUBLANE axis with the rhs LANE axis
+# (dims ((0,), (1,))) — the MXU takes a transposed lhs natively.
+
+
+def _moments_nhwc_kernel(idx_ref, f_ref, out_ref):
+    c = pl.program_id(1)
+    idx = idx_ref[0, 0].reshape(1, -1)  # (1, chunk) int32, -1 on padding
+    feats = f_ref[0]  # (chunk, dp) bf16, ones column at index d
+    s_pad = out_ref.shape[2]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_pad, idx.shape[1]), 0) == idx
+    ).astype(jnp.bfloat16)  # (s_pad, chunk) exact 0/1
+    part = jax.lax.dot_general(
+        feats, onehot, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (dp, s_pad) f32
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[0] = part
+
+    @pl.when(c != 0)
+    def _acc():
+        out_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def superpixel_moments_fused_nhwc(
+    idx: jnp.ndarray, feats: jnp.ndarray, n_sp: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, N) int32 labels + (B, N, D) features -> ((B, S, D) f32 sums,
+    (B, S) f32 counts); pad-only staging (see the note above)."""
+    b, n = idx.shape
+    d = feats.shape[-1]
+    dp = -(-(d + 1) // 8) * 8
+    s_pad = max(128, -(-n_sp // 128) * 128)
+    n_pad = -(-n // _CHUNK) * _CHUNK
+    nc = n_pad // _CHUNK
+
+    idx_p = (
+        jnp.full((b, n_pad), -1, jnp.int32)
+        .at[:, :n]
+        .set(idx)
+        .reshape(b, nc, 8, _CHUNK // 8)
+    )
+    f_p = jnp.zeros((b, n_pad, dp), jnp.bfloat16)
+    f_p = f_p.at[:, :n, :d].set(feats.astype(jnp.bfloat16))
+    f_p = f_p.at[:, :n, d].set(jnp.bfloat16(1.0))
+
+    out = pl.pallas_call(
+        _moments_nhwc_kernel,
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, _CHUNK // 8), lambda i, c: (i, c, 0, 0)),
+            pl.BlockSpec((1, _CHUNK, dp), lambda i, c: (i, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, dp, s_pad), lambda i, c: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, dp, s_pad), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(idx_p, f_p)
+    return (
+        jnp.swapaxes(out[:, :d, :n_sp], 1, 2),  # (B, S, D) sums — tiny
+        out[:, d, :n_sp],  # (B, S) counts
+    )

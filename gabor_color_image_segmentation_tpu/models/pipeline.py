@@ -31,9 +31,17 @@ def _color_transform(rgb: jnp.ndarray, color_space: str) -> jnp.ndarray:
 
 
 def compute_energies(
-    rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank
+    rgb: jnp.ndarray, cfg: PipelineConfig, bank: GaborBank,
+    pool: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B,H,W,3) sRGB -> ((B,H,W,E) Gabor energies, (B,H,W,3) color)."""
+    """(B,H,W,3) sRGB -> ((B,H>>pool,W>>pool,E) energies, (B,H,W,3) color).
+
+    ``pool`` > 0 returns 2^pool-block-mean-pooled energies (the graph
+    branch's multirate grid). On the tiled path the pooling happens
+    per-window INSIDE gabor_energies_tiled — bitwise the same means, but
+    the full-res NHWC energies never materialize (the monolithic
+    pool-after pass measured ~54-228 ms at config4's 4K scale,
+    exp_config4_poolparts.py); color is always returned full-res."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     color = _color_transform(rgb, cfg.color_space)
     impl = cfg.feature_impl
@@ -71,9 +79,13 @@ def compute_energies(
             gabor_energies_tiled,
         )
 
-        energies = gabor_energies_tiled(color, bank, dtype, cfg.tile_hw, fn)
+        energies = gabor_energies_tiled(
+            color, bank, dtype, cfg.tile_hw, fn, pool
+        )
     else:
         energies = fn(color, bank, dtype)
+        for _ in range(pool):
+            energies = _pool2x2_nhwc(energies)
     return energies, color
 
 
@@ -388,12 +400,13 @@ def segment_batch(
             # energies are computed at FULL resolution (filtering a pooled
             # image is not the same operator), then pooled by exact block
             # means BEFORE assembly so standardization moments are measured
-            # on the grid the graph stage actually clusters
-            energies, color = compute_energies(rgb, cfg, bank)
+            # on the grid the graph stage actually clusters. The pooling
+            # rides inside compute_energies (per-window on the tiled path
+            # — see its docstring for the round-5 measurement).
+            energies, color = compute_energies(rgb, cfg, bank, pool=p)
             same = cfg.color_space == "lab"
             lab = color if same else _color_transform(rgb, "lab")
             for _ in range(p):
-                energies = _pool2x2_nhwc(energies)
                 color = _pool2x2_nhwc(color)
                 lab = color if same else _pool2x2_nhwc(lab)
             feats = assemble_features(energies, color, cfg.cluster)

@@ -88,7 +88,18 @@ def _plan(h: int, w: int, n_superpixels: int):
         w_rows, band_rows = wr, br
         break
     if w_rows is None:
-        return None
+        # w3-ONLY plan (round 5): uniform bands need w_rows >= 4, but the
+        # cell-aligned whole-image kernel's window is only 3 grid rows —
+        # fine-grid geometries (e.g. config3's 900 superpixels: gw=37,
+        # 5*37 > 128 but 3*37 <= 128) stay fused. w_rows=0 marks the
+        # banded launch-per-pass loop and the w5 plan ineligible; only
+        # the whole-image w3 branch may run (slic_fused raises when the
+        # frame exceeds the VMEM fuse gate, and slic_fused_eligible
+        # pre-checks that so impl="auto" falls back to XLA).
+        if min(3, gh) * gw <= _CAND:
+            w_rows, band_rows = 0, 1
+        else:
+            return None
     wp = -(-w // 128) * 128
     n_bands = -(-h // band_rows)
     hp = n_bands * band_rows
@@ -125,7 +136,15 @@ def _plan(h: int, w: int, n_superpixels: int):
 
 
 def slic_fused_eligible(h: int, w: int, n_superpixels: int) -> bool:
-    return _plan(h, w, n_superpixels) is not None
+    bp = _plan(h, w, n_superpixels)
+    if bp is None:
+        return False
+    if bp["w_rows"] == 0:
+        # w3-only geometry: no banded fallback — eligible only when the
+        # whole frame fits the VMEM fuse gate (same size formula as the
+        # z_pack gate inside slic_fused)
+        return 3 * _C * bp["hp"] * bp["wp"] * 2 <= _SLIC_FUSE_BYTES
+    return True
 
 
 def _split_bf16(a: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -510,7 +529,6 @@ def slic_fused(
     # band's static rb (via p // band_px), okX and the valid row only on
     # the pixel position — all iteration-invariant, built once here. The
     # cell formulas mirror the old in-kernel mask arithmetic verbatim.
-    pr, _valid_row = _pen_geometry(gw, w_rows)
     p_flat = jnp.arange(hp * wp, dtype=jnp.int32)
     y_f = p_flat // wp
     x_f = p_flat - y_f * wp
@@ -520,17 +538,19 @@ def slic_fused(
     cell_x = jnp.clip(
         (x_f.astype(jnp.float32) * (gw / w)).astype(jnp.int32), 0, gw - 1
     )
-    rb_p = jnp.asarray(rb)[p_flat // band_px]  # (Np,) first window row
-    rows_y = rb_p[None, :] + jnp.arange(w_rows, dtype=jnp.int32)[:, None]
-    pen_y = (jnp.abs(rows_y - cell_y[None, :]) > 1).astype(jnp.bfloat16)
     cols_x = jnp.arange(gw, dtype=jnp.int32)[:, None]
     pen_x = (jnp.abs(cols_x - cell_x[None, :]) > 1).astype(jnp.bfloat16)
     valid = ((y_f < h) & (x_f < w)).astype(jnp.bfloat16)[None, :]
-    pen = jnp.concatenate(
-        [pen_y, pen_x, valid,
-         jnp.zeros((pr - w_rows - gw - 1, hp * wp), jnp.bfloat16)],
-        axis=0,
-    )  # (pr, Np)
+    if w_rows:  # banded/w5 geometry (w_rows == 0: w3-only plan)
+        pr, _valid_row = _pen_geometry(gw, w_rows)
+        rb_p = jnp.asarray(rb)[p_flat // band_px]  # (Np,) first window row
+        rows_y = rb_p[None, :] + jnp.arange(w_rows, dtype=jnp.int32)[:, None]
+        pen_y = (jnp.abs(rows_y - cell_y[None, :]) > 1).astype(jnp.bfloat16)
+        pen = jnp.concatenate(
+            [pen_y, pen_x, valid,
+             jnp.zeros((pr - w_rows - gw - 1, hp * wp), jnp.bfloat16)],
+            axis=0,
+        )  # (pr, Np)
 
     # initial centroids at cell centers (same formulas as models/slic.py)
     cy = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * (h / gh)
@@ -550,12 +570,18 @@ def slic_fused(
         axis=-1,
     )  # (B, S, _C) weighted centroids with ones-column
 
-    rb_dev = jnp.asarray(rb).reshape(n_bands, 1)
-    kernel = functools.partial(
-        _slic_kernel, gw=gw, w_rows=w_rows, band_px=band_px, pr=pr,
-    )
+    if w_rows:
+        rb_dev = jnp.asarray(rb).reshape(n_bands, 1)
+        kernel = functools.partial(
+            _slic_kernel, gw=gw, w_rows=w_rows, band_px=band_px, pr=pr,
+        )
+        n_cand_rows = w_rows * gw
+    elif plan == "w5":
+        raise ValueError(
+            f"plan='w5' ineligible at this geometry (5*{gw} grid cols "
+            f"exceed the 128-lane window; w3-only plan)"
+        )
     interpret = jax.default_backend() != "tpu"
-    n_cand_rows = w_rows * gw
 
     if z_pack.shape[1] * z_pack.shape[2] * 2 <= _SLIC_FUSE_BYTES:
         # whole image resident in VMEM: one launch runs every iteration
@@ -563,7 +589,7 @@ def slic_fused(
         # launch-per-pass banded loop below
         s_pad = -(-n_sp // 8) * 8
         cw0_pad = jnp.pad(cw0, ((0, 0), (0, s_pad - n_sp), (0, 0)))
-        if plan == "w3" or (plan == "auto" and _W3_FUSED):
+        if plan == "w3" or (plan == "auto" and (_W3_FUSED or not w_rows)):
             # cell-aligned bands, 3-grid-row candidate window (~1.8x less
             # VPU window work — see _slic_all_kernel_w3); pen_y rebuilt
             # for the w3 geometry, pen_x/valid shared
@@ -658,6 +684,13 @@ def slic_fused(
         )(z_pack, cw0_pad, pen)
         return labels.reshape(b, n_bands * band_rows, wp)[:, :h, :w]
 
+    if not w_rows:
+        raise ValueError(
+            f"w3-only geometry ({h}x{w}, {n_superpixels} superpixels) "
+            "exceeds the whole-image fuse gate and has no banded "
+            "fallback; slic_fused_eligible is False here — use "
+            "models.slic.slic"
+        )
     if plan != "auto":
         # an explicit w3/w5 request cannot be honored on the plan-free
         # launch-per-pass banded path — raising keeps A/B callers from

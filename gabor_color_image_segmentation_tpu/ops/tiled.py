@@ -40,18 +40,42 @@ def gabor_energies_tiled(
     dtype,
     tile_hw: Tuple[int, int],
     energies_fn: Callable[[jnp.ndarray, GaborBank, object], jnp.ndarray],
+    pool: int = 0,
 ) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H, W, C*N) energies, computed tile-by-tile.
+    """(B, H, W, C) -> (B, H>>pool, W>>pool, C*N) energies, tile-by-tile.
 
     energies_fn is any of gabor_energies / gabor_energies_mod /
     gabor_energies_fused (identical signatures and output layout).
-    """
+
+    ``pool`` > 0 applies the pipeline's exact 2x2-block-mean pooling
+    (models/pipeline.py::_pool2x2_nhwc, the golden-mirrored order) to each
+    tile's INTERIOR before writing it out — bitwise equal to pooling the
+    assembled full-res map (tile offsets/sizes are 2^pool-aligned, so
+    every 2^pool block lies inside one tile), while the full-res NHWC
+    energies never materialize in HBM. Round-5 measurement
+    (exp_config4_poolparts.py, 4K batch-4): the monolithic pooling pass
+    cost 54 ms standalone and ~228 ms fused with this producer (XLA
+    scheduling pathology on the 1.5 GB intermediate); per-window pooling
+    costs ~0.5 ms/window."""
     b, h, w, c = color.shape
     th = min(tile_hw[0], h)
     tw = min(tile_hw[1], w)
     halo = bank.config.max_halo
     ys = sorted({min(i * th, h - th) for i in range(-(-h // th))})
     xs = sorted({min(j * tw, w - tw) for j in range(-(-w // tw))})
+    if pool:
+        from gabor_color_image_segmentation_tpu.models.pipeline import (
+            _pool2x2_nhwc,
+        )
+
+        f = 1 << pool
+        align = [th, tw, h, w] + list(ys) + list(xs)
+        if any(v % f for v in align):
+            raise ValueError(
+                f"tiled pooling needs tile/image geometry divisible by "
+                f"{f}, got tile {th}x{tw} over {h}x{w} at offsets "
+                f"{ys}x{xs}"
+            )
     out = None
     for y0 in ys:
         for x0 in xs:
@@ -65,7 +89,13 @@ def gabor_energies_tiled(
             e = energies_fn(win, bank, dtype)[
                 :, y0 - y_lo : y0 - y_lo + th, x0 - x_lo : x0 - x_lo + tw
             ]
+            for _ in range(pool):
+                e = _pool2x2_nhwc(e)
+            p = pool and (1 << pool) or 1
             if out is None:
-                out = jnp.zeros((b, h, w, e.shape[-1]), e.dtype)
-            out = out.at[:, y0 : y0 + th, x0 : x0 + tw].set(e)
+                out = jnp.zeros(
+                    (b, h // p, w // p, e.shape[-1]), e.dtype
+                )
+            out = out.at[:, y0 // p : (y0 + th) // p,
+                         x0 // p : (x0 + tw) // p].set(e)
     return out

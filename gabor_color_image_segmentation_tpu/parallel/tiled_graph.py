@@ -351,6 +351,7 @@ def graph_cut_strip(
         feats.reshape(rows * w, d), sp.reshape(-1), gh * gw, axis_name
     )
     _, eig_method = resolve_graph_impls(g, cfg.dtype)
-    aff = affinity_matrix(means, g.affinity_sigma, cnts)
+    aff = affinity_matrix(means, g.affinity_sigma, cnts,
+                          g.affinity_sigma_scale)
     regions = spectral_labels(aff, g.n_regions, eig_method=eig_method)
     return regions[sp.reshape(-1)].reshape(rows, w).astype(jnp.int32)

@@ -136,6 +136,7 @@ def ncut_golden(
     n_regions: int,
     affinity_sigma: float | None = None,
     n_sp: int | None = None,
+    sigma_scale: float = 1.0,
 ) -> np.ndarray:
     """Numpy/scipy mirror of models.graph: means -> affinity -> eigh -> kmeans."""
     h, w, d = features.shape
@@ -151,7 +152,12 @@ def ncut_golden(
     sq = (f**2).sum(1)
     d2 = np.maximum(sq[:, None] - 2 * f @ f.T + sq, 0.0)
     if affinity_sigma is None:
-        s2 = max(np.median(d2), 1e-12)
+        # sigma_scale mirrors GraphConfig.affinity_sigma_scale (models/
+        # graph.py affinity_matrix — the round-5 bandwidth remedy); the
+        # 4x4-strided median subsample above S=512 mirrors the TPU
+        # path's sort-cost fix (same elements, same statistic)
+        d2m = d2[::4, ::4] if d2.shape[0] > 512 else d2
+        s2 = max(np.median(d2m), 1e-12) * sigma_scale
     else:
         s2 = 2.0 * affinity_sigma**2
     wm = np.exp(-d2 / s2)

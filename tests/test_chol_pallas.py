@@ -75,3 +75,59 @@ def test_d_past_lane_width_raises():
     covs = jnp.eye(130)[None]
     with pytest.raises(ValueError, match="d <= 128"):
         precision_chol_pallas(covs, d=130)
+
+
+def test_params_kernel_matches_xla():
+    """The fused moments->params->factorization launch must reproduce the
+    XLA chain (_moments_to_params -> cholesky/solve_triangular ->
+    bias/const) at config2's true shape; f32 tolerance (the bias
+    reduction order differs)."""
+    from gabor_color_image_segmentation_tpu.models.chol_pallas import (
+        precision_chol_params_pallas,
+    )
+    from gabor_color_image_segmentation_tpu.models.gmm_pallas import (
+        _LOG2PI,
+        _moments_to_params,
+    )
+
+    rng = np.random.default_rng(3)
+    b, k, d, dp, m_rows = 2, 5, 39, 48, 9801
+    # synthetic moment-scatter matrices with the ones-row contract:
+    # C = sum_px resp * xext xext^T with xext = [x, 1] in dp rows
+    x = rng.normal(size=(b, m_rows, d))
+    xe = np.zeros((b, m_rows, dp))
+    xe[:, :, :d] = x
+    xe[:, :, d] = 1.0
+    resp = rng.random((b, k, m_rows)) + 0.05
+    covsM = np.einsum("bkn,bni,bnj->bkij", resp, xe, xe).astype(np.float32)
+
+    xk, diag, bias, const = precision_chol_params_pallas(
+        jnp.asarray(covsM), d, m_rows, 1e-4
+    )
+
+    msums = np.zeros((b, 8, dp), np.float32)
+    msums[:, :k] = covsM[:, :, d, :]
+    w_, mu, cov = _moments_to_params(
+        jnp.asarray(msums), jnp.asarray(covsM), d, m_rows, k, 1e-4
+    )
+    chol = np.linalg.cholesky(np.asarray(cov)[:, :, :d, :d])
+    pt_ref = np.stack([
+        np.stack([
+            np.linalg.solve(chol[i, j], np.eye(d)) for j in range(k)
+        ]) for i in range(b)
+    ])
+    got = np.asarray(xk).reshape(b, k, dp, 128)[:, :, :d, :d]
+    rel = np.abs(got - pt_ref) / (np.abs(pt_ref) + 1e-3)
+    assert rel.max() < 5e-4, rel.max()
+    # bias = P^T mu; const = log w + logdet - d/2 log2pi
+    bias_ref = np.einsum("bkij,bkj->bki", pt_ref, np.asarray(mu))
+    got_b = np.asarray(bias).reshape(b, k, dp)[:, :, :d]
+    np.testing.assert_allclose(got_b, bias_ref, rtol=2e-4, atol=2e-4)
+    logdet = -np.log(
+        np.diagonal(chol, axis1=-2, axis2=-1)
+    ).sum(-1)
+    const_ref = np.log(np.asarray(w_)) + logdet - 0.5 * d * _LOG2PI
+    np.testing.assert_allclose(
+        np.asarray(const)[:, 0].reshape(b, k), const_ref,
+        rtol=1e-5, atol=1e-4,
+    )

@@ -198,3 +198,31 @@ def test_pooled_fit_matches_golden_and_xla(rng):
     )
     assert (align_labels(xla_r, gold_r) == gold_r).mean() > 0.995
     assert (align_labels(fused_r, gold_r) == gold_r).mean() > 0.995
+
+
+def test_fused_prep_matches_standard_loop(rng):
+    """The fused moments->params->factorization loop (TPU production path,
+    forced on here in interpret mode) must agree with the standard
+    per-iteration chain: same schedule, same tol/freeze semantics, f32
+    reduction order only differs in the bias — label agreement ~1."""
+    import jax.numpy as jnp
+
+    import gabor_color_image_segmentation_tpu.models.gmm_pallas as gp
+
+    x = np.concatenate([
+        rng.normal(size=(500, 6)) + np.array([3, 0, 0, 0, 0, 0.0]),
+        rng.normal(size=(500, 6)) + np.array([0, 3, 0, 0, 0, 0.0]),
+        rng.normal(size=(500, 6)) - 2.0,
+    ]).astype(np.float32)
+    xs = np.stack([x, x[::-1]])
+    base = np.asarray(gp.gmm_fused_t(jnp.asarray(xs), 3, 8, tol=1e-3))
+    old = gp._use_fused_prep
+    try:
+        gp._use_fused_prep = lambda: True
+        gp.gmm_fused_t_xt.clear_cache()
+        fused = np.asarray(gp.gmm_fused_t(jnp.asarray(xs), 3, 8, tol=1e-3))
+    finally:
+        gp._use_fused_prep = old
+        gp.gmm_fused_t_xt.clear_cache()
+    agree = (base == fused).mean()
+    assert agree > 0.999, f"fused-prep vs standard agreement {agree}"

@@ -256,3 +256,63 @@ def test_graph_pool_pipeline_matches_golden(small_mosaic):
 
     pri = pri_np(labels, [gt])
     assert pri > 0.7, f"pooled graph PRI {pri}"
+
+
+def test_fused_moments_t_match_xla():
+    """graph_pallas.superpixel_moments_fused_t (the round-5 production
+    transposed-output kernel) == the XLA one-hot-matmul superpixel_means:
+    counts exact, means ~reduction-order. Exercises the S=925-class
+    geometry the remedy preset uses."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        superpixel_means,
+    )
+    from gabor_color_image_segmentation_tpu.models.graph_pallas import (
+        superpixel_moments_fused_t,
+    )
+
+    rng = np.random.default_rng(4)
+    b, n, d, s = 2, 6000, 39, 925
+    idx = rng.integers(-1, s, (b, n)).astype(np.int32)  # incl. dead pixels
+    feats = rng.standard_normal((b, n, d)).astype(np.float32)
+    feats = jnp.asarray(feats).astype(jnp.bfloat16)
+    sums, cnts = superpixel_moments_fused_t(jnp.asarray(idx), feats, s)
+    for i in range(b):
+        valid = idx[i] >= 0
+        m_ref, c_ref = superpixel_means(
+            feats[i][valid].astype(jnp.float32),
+            jnp.asarray(idx[i][valid]), s,
+        )
+        np.testing.assert_array_equal(np.asarray(cnts[i]), np.asarray(c_ref))
+        m = np.asarray(sums[i]) / np.maximum(np.asarray(cnts[i]), 1.0)[:, None]
+        np.testing.assert_allclose(m, np.asarray(m_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_moments_nhwc_match_xla():
+    """superpixel_moments_fused_nhwc (production: pad-only staging) == the
+    XLA one-hot-matmul superpixel_means."""
+    import jax.numpy as jnp
+
+    from gabor_color_image_segmentation_tpu.models.graph import (
+        superpixel_means,
+    )
+    from gabor_color_image_segmentation_tpu.models.graph_pallas import (
+        superpixel_moments_fused_nhwc,
+    )
+
+    rng = np.random.default_rng(5)
+    b, n, d, s = 2, 6000, 39, 925
+    idx = rng.integers(-1, s, (b, n)).astype(np.int32)
+    feats = rng.standard_normal((b, n, d)).astype(np.float32)
+    feats = jnp.asarray(feats).astype(jnp.bfloat16)
+    sums, cnts = superpixel_moments_fused_nhwc(jnp.asarray(idx), feats, s)
+    for i in range(b):
+        valid = idx[i] >= 0
+        m_ref, c_ref = superpixel_means(
+            feats[i][valid].astype(jnp.float32),
+            jnp.asarray(idx[i][valid]), s,
+        )
+        np.testing.assert_array_equal(np.asarray(cnts[i]), np.asarray(c_ref))
+        m = np.asarray(sums[i]) / np.maximum(np.asarray(cnts[i]), 1.0)[:, None]
+        np.testing.assert_allclose(m, np.asarray(m_ref), rtol=2e-5, atol=2e-5)

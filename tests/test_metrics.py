@@ -53,9 +53,12 @@ def test_permutation_invariance(rng):
 def test_voi_identity_and_symmetry(rng):
     x = rng.integers(0, 5, (30, 40))
     y = rng.integers(0, 4, (30, 40))
-    assert voi_np(x, x) == 0.0
+    # identity VoI is zero up to float cancellation (H + H - 2I computed
+    # from independently-accumulated entropies; exact 0.0 held only by
+    # accident of the shared-rng draw order)
+    assert abs(voi_np(x, x)) < 1e-12
     assert abs(voi_np(x, y) - voi_np(y, x)) < 1e-12
-    assert mean_voi_np(x, [x, x]) == 0.0
+    assert abs(mean_voi_np(x, [x, x])) < 1e-12
 
 
 def test_voi_matches_sklearn_decomposition(rng):

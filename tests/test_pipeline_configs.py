@@ -40,7 +40,14 @@ def test_config2_gmm(batch2):
 def test_config3_ncut(batch2):
     imgs, gts = batch2
     cfg = preset("config3").replace(batch_size=2)
-    cfg = cfg.replace(graph=dataclasses.replace(cfg.graph, n_superpixels=64, n_regions=4))
+    # pin the graph params this toy-geometry sanity gate was written for:
+    # the round-5 production preset (900 cells, compactness 5, sigma scale
+    # 0.1) is tuned for 321x481 and miscalibrated at 64 cells on a small
+    # mosaic; the production operating point is pinned by the eval tables
+    # (exp_config3_candidate_eval.py), not by this mechanism test
+    cfg = cfg.replace(graph=dataclasses.replace(
+        cfg.graph, n_superpixels=64, n_regions=4, slic_compactness=10.0,
+        affinity_sigma_scale=1.0))
     labels, _ = segment_batch(imgs, cfg, make_bank(cfg.bank))
     labels = np.asarray(labels)
     assert labels.shape == imgs.shape[:3]

@@ -371,3 +371,30 @@ def test_explicit_plan_on_banded_path_raises(small_mosaic):
     finally:
         sp._SLIC_FUSE_BYTES = old
         sp.slic_fused.clear_cache()
+
+
+def test_w3_only_plan_geometry(small_mosaic):
+    """Round-5 config3 geometry (900 superpixels at 321x481 -> gw=37):
+    5*gw and 4*gw exceed the 128-lane window, so the banded/w5 plans are
+    ineligible — the cell-aligned w3 whole-image kernel must still run
+    (w3-only plan, w_rows=0) and match plain XLA SLIC at the usual bf16x3
+    agreement standard; explicit plan='w5' must raise."""
+    import jax.numpy as jnp
+    import pytest
+
+    import gabor_color_image_segmentation_tpu.models.slic_pallas as sp
+
+    rgb, _ = small_mosaic
+    lab = rgb_to_lab_np(rgb)
+    bp = sp._plan(*lab.shape[:2], 800)
+    assert bp is not None and bp["w_rows"] == 0  # w3-only geometry
+    assert sp.slic_fused_eligible(*lab.shape[:2], 800)
+    plain = np.asarray(slic(lab, 800, 5.0, 5))
+    fused = np.asarray(sp.slic_fused(jnp.asarray(lab)[None], 800, 5.0, 5))[0]
+    agree = (plain == fused).mean()
+    assert agree > 0.98, f"w3-only fused agreement {agree}"
+    with pytest.raises(ValueError, match="w3-only"):
+        sp.slic_fused(jnp.asarray(lab)[None], 800, 5.0, 5, "w5")
+    # the production config3 geometry itself is w3-only and stays fused
+    assert sp._plan(321, 481, 900)["w_rows"] == 0
+    assert sp.slic_fused_eligible(321, 481, 900)

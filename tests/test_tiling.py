@@ -266,9 +266,19 @@ def test_dp_sharded_graph_config(mesh8):
 
     devs = jax.devices()
     mesh = make_mesh(8)
+    import dataclasses
+
     cfg = preset("config3").replace(
         batch_size=8, image_hw=(96, 128), feature_impl="modulated"
     )
+    # pin the toy-geometry graph operating point (the round-5 preset's 900
+    # cells / sigma scale 0.1 are tuned for 321x481; at 96x128 they create
+    # near-tie embeddings whose kmeans basin flips between the two XLA
+    # programs being compared — this test is about DP sharding structure,
+    # not preset tuning)
+    cfg = cfg.replace(graph=dataclasses.replace(
+        cfg.graph, n_superpixels=400, slic_compactness=10.0, n_regions=5,
+        affinity_sigma_scale=1.0))
     bank = make_bank(cfg.bank)
     imgs = np.stack(
         [synthetic_mosaic(96, 128, n_regions=4, seed=50 + i)[0] for i in range(8)]
@@ -368,7 +378,10 @@ def test_tiled_graph_equals_untiled(mesh8):
     untiled graph labels on the fake mesh, at pool=0 and pool=1."""
     import dataclasses
 
-    rgb, gt = synthetic_mosaic(h=96, w=64, n_regions=4, seed=21)
+    # 128 rows over 8 devices = 16-row strips: the round-5 coherence
+    # default (config0, which _small_cfg derives from) needs strip rows
+    # divisible by 8 for strip-local 8x8 block means (_standardize_strip)
+    rgb, gt = synthetic_mosaic(h=128, w=64, n_regions=4, seed=21)
     base = _small_cfg()
     for pool in (0, 1):
         cfg = base.replace(
@@ -507,3 +520,58 @@ def test_cut_chain_4k_collective_inventory(mesh8):
 
     inv = lower_cut_chain_real_geometry(2, 4)
     assert inv == CUT_CHAIN_EXPECTED_COLLECTIVES, inv
+
+
+def test_tiled_pooled_energies_bitwise(small_mosaic):
+    """Round-5 per-window pooling (ops/tiled.py pool>0): pooling each
+    tile's interior must be BITWISE pooling the assembled full-res map
+    (2^pool-aligned tiles keep every block inside one tile), and a
+    misaligned geometry must raise."""
+    import jax.numpy as jnp
+    import pytest
+
+    from gabor_color_image_segmentation_tpu.config import preset
+    from gabor_color_image_segmentation_tpu.models.pipeline import (
+        _pool2x2_nhwc,
+        compute_energies,
+    )
+    from gabor_color_image_segmentation_tpu.ops.bank import make_bank
+    from gabor_color_image_segmentation_tpu.ops.modulated import (
+        gabor_energies_mod,
+    )
+    from gabor_color_image_segmentation_tpu.ops.tiled import (
+        gabor_energies_tiled,
+    )
+    from golden.features import rgb_to_lab_np
+
+    rgb, _ = small_mosaic  # 96 x 128
+    cfg = preset("config0")
+    bank = make_bank(cfg.bank)
+    lab = jnp.asarray(rgb_to_lab_np(rgb), jnp.float32)[None]
+
+    full = gabor_energies_tiled(
+        lab, bank, jnp.float32, (48, 64), gabor_energies_mod
+    )
+    ref = _pool2x2_nhwc(_pool2x2_nhwc(full))
+    pooled = gabor_energies_tiled(
+        lab, bank, jnp.float32, (48, 64), gabor_energies_mod, pool=2
+    )
+    assert (np.asarray(pooled) == np.asarray(ref)).all()
+
+    with pytest.raises(ValueError, match="divisible"):
+        gabor_energies_tiled(
+            lab, bank, jnp.float32, (50, 64), gabor_energies_mod, pool=2
+        )
+
+    # pipeline wiring: the graph branch's pooled energies ride
+    # compute_energies(pool=p) on both tiled and untiled paths
+    e_u, _ = compute_energies(
+        jnp.asarray(rgb)[None],
+        cfg.replace(feature_impl="modulated"), bank, pool=1)
+    e_t, _ = compute_energies(
+        jnp.asarray(rgb)[None],
+        cfg.replace(feature_impl="modulated", tile_hw=(48, 64)), bank,
+        pool=1)
+    np.testing.assert_allclose(
+        np.asarray(e_t), np.asarray(e_u), atol=0.05, rtol=1e-5
+    )
