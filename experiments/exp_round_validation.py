@@ -54,12 +54,53 @@ def main():
               flush=True)
 
     # --- drive + golden comparison, config3 ---
+    # Each config3 leg runs in its OWN subprocess: an fp32 graph program
+    # leaves the axon TPU worker in a state where the NEXT graph program
+    # in the same process crashes it ("TPU worker process crashed",
+    # deterministic — round-5 bisect; sequences of bf16 graph programs
+    # are fine, CLAUDE.md landmine). The compile cache keeps the
+    # per-subprocess cost to jax init + cached load.
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
     from golden.graph import ncut_golden
 
     cfg3 = gcis.preset("config3")
+
+    def run_config3(dt, eig=None):
+        out = tempfile.mktemp(suffix=".npy")
+        code = (
+            "import numpy as np, dataclasses\n"
+            "import gabor_color_image_segmentation_tpu as gcis\n"
+            "from gabor_color_image_segmentation_tpu.utils.jit_cache "
+            "import enable_compilation_cache\n"
+            "enable_compilation_cache()\n"
+            "from gabor_color_image_segmentation_tpu.data import "
+            "synthetic_mosaic\n"
+            "from gabor_color_image_segmentation_tpu.models.pipeline "
+            "import segment_image\n"
+            "rgb, _ = synthetic_mosaic(h=321, w=481, n_regions=5, seed=11)\n"
+            f"cfg = gcis.preset('config3').replace(dtype={dt!r})\n"
+        )
+        if eig:
+            code += (
+                "cfg = cfg.replace(graph=dataclasses.replace("
+                f"cfg.graph, eig_method={eig!r}))\n"
+            )
+        code += (
+            "labels, _ = segment_image(rgb, cfg)\n"
+            f"np.save({out!r}, np.asarray(labels))\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       env=dict(os.environ), timeout=1200)
+        arr = np.load(out)
+        os.unlink(out)
+        return arr
+
     for dt in ("float32", "bfloat16"):
-        labels3, _ = segment_image(rgb, cfg3.replace(dtype=dt))
-        l3 = np.asarray(labels3)
+        l3 = run_config3(dt)
         print(f"config3 {dt}: ids {np.unique(l3)} PRI {pri_np(l3, [gt]):.4f}",
               flush=True)
 
@@ -76,16 +117,13 @@ def main():
     sp_g = enforce_connectivity_golden(sp_g, n_sp=gh * gw, s_max=gh * gw)
     gold3 = ncut_golden(feats_g, sp_g, g.n_regions, g.affinity_sigma, gh * gw,
                         g.affinity_sigma_scale)
-    labels3, _ = segment_image(rgb, cfg3)
+    labels3 = run_config3("float32")
     print(f"config3 fp32 vs golden agreement: {agreement(labels3, gold3):.4f}",
           flush=True)
     # isolate the eigensolver: golden uses dense eigh; the production TPU
     # path defaults to the matmul-only subspace iteration (eig_method=auto).
     # Forcing eigh on-device attributes any residual gap to eig basins.
-    import dataclasses as _dc
-
-    cfg3e = cfg3.replace(graph=_dc.replace(cfg3.graph, eig_method="eigh"))
-    labels3e, _ = segment_image(rgb, cfg3e)
+    labels3e = run_config3("float32", eig="eigh")
     print(f"config3 fp32 (eigh) vs golden agreement: "
           f"{agreement(labels3e, gold3):.4f}", flush=True)
 

@@ -50,11 +50,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (name, preset, dtype, batch) — production shapes; batch overrides match
 # bench.py's methodology flags
 _PROGRAMS = [
-    ("config0 bf16 b16", "config0", None, 16),
-    ("config1 bf16 b16", "config1", None, None),
-    ("config2 bf16 b8", "config2", None, None),
-    ("config3 bf16 b8", "config3", None, None),
-    ("config4 bf16 b5", "config4", None, 5),
+    # dtype must be EXPLICIT: the preset default is float32, and the f32
+    # feature kernel at config4's window shapes blows the 48 MB scoped-
+    # vmem stack — this gate itself caught that on its first run
+    ("config0 bf16 b16", "config0", "bfloat16", 16),
+    ("config1 bf16 b16", "config1", "bfloat16", None),
+    ("config2 bf16 b8", "config2", "bfloat16", None),
+    ("config3 bf16 b8", "config3", "bfloat16", None),
+    ("config4 bf16 b5", "config4", "bfloat16", 5),
     ("config0 fp32 (parity)", "config0", "float32", 16),
     ("config1 fp32 (parity)", "config1", "float32", None),
     ("config3 fp32 (parity)", "config3", "float32", None),
@@ -89,12 +92,14 @@ def compile_gate() -> bool:
     # the explicit w5 SLIC plan (measured alternative; not in any preset)
     from gabor_color_image_segmentation_tpu.models.slic_pallas import slic_fused
 
+    # w5 at a w5-ELIGIBLE geometry (the round-5 config3 preset's 900-cell
+    # grid is w3-only by construction — 5*37 > 128 lanes)
     g = preset("config3").graph
     lab = jnp.zeros((preset("config3").batch_size, 321, 481, 3), jnp.float32)
     t0 = time.perf_counter()
     try:
         jax.jit(
-            lambda l: slic_fused(l, g.n_superpixels, g.slic_compactness,
+            lambda l: slic_fused(l, 400, g.slic_compactness,
                                  g.slic_iters, "w5")
         ).lower(lab).compile()
         print(f"  compile ok   {'slic w5 plan':24s} "

@@ -331,44 +331,20 @@ def graph_segment_batch(
         else:
             sp = enforce_connectivity_device(sp, gh * gw)
         n_sp = gh * gw
-        if (
-            jax.default_backend() == "tpu"
-            and features.dtype == jnp.bfloat16
-        ):
-            # round 5: the transposed-output Pallas moments kernel. At the
-            # remedy geometry (S=925) the XLA one-hot matmul materializes
-            # ~286 MB/image and measured 17.7 ms/batch-8 (5x its S=384
-            # cost, exp_config3_stages 2026-08-20); the kernel builds
-            # one-hot tiles in VMEM and is MXU-bound at ~1.1x padding
-            # (graph_pallas.py — the OLD (S, chunk)@(chunk, D) orientation
-            # measured slower at S=384 from its 3.2x output-lane padding;
-            # the transposed orientation removed it). fp32 parity mode
-            # keeps the XLA HIGHEST route.
-            from gabor_color_image_segmentation_tpu.models.graph_pallas import (
-                superpixel_moments_fused_t,
-            )
-
-            d = features.shape[-1]
-            sums, cnts = superpixel_moments_fused_t(
-                sp.reshape(b, h * w), features.reshape(b, h * w, d), n_sp
-            )
-            means = sums / jnp.maximum(cnts, 1.0)[:, :, None]
-
-            def cut(mn, ct):
-                aff = affinity_matrix(
-                    mn, g.affinity_sigma, ct, g.affinity_sigma_scale
-                )
-                return spectral_labels(
-                    aff, g.n_regions, eig_method=eig_method
-                )
-
-            regions = jax.vmap(cut)(means, cnts)  # (B, S)
-        else:
-            fn = lambda f, s: ncut_regions(
-                f, s, n_sp, g.n_regions, g.affinity_sigma, eig_method,
-                g.affinity_sigma_scale,
-            )
-            regions = jax.vmap(fn)(features, sp)  # (B, S)
+        # superpixel moments stay on the XLA one-hot matmul. Round-5
+        # re-audit at the remedy geometry (S=925): the standalone probe
+        # charged the stage 17.7 ms/batch-8, but swapping in either Pallas
+        # moments kernel (graph_pallas.py — transposed-output or
+        # NHWC-input) moved the PRODUCTION e2e bench by < 0.1 MP/s of
+        # 57.1 (exp record in BASELINE.md); the real cost hiding in that
+        # probe was the affinity median's TPU sort (fixed in
+        # affinity_matrix by the strided subsample, 34.6 -> 57.0 MP/s).
+        # The kernels are kept, tested, and measured-equal alternatives.
+        fn = lambda f, s: ncut_regions(
+            f, s, n_sp, g.n_regions, g.affinity_sigma, eig_method,
+            g.affinity_sigma_scale,
+        )
+        regions = jax.vmap(fn)(features, sp)  # (B, S)
         # pixel broadcast via the Pallas table-lookup kernel: XLA's dynamic
         # gather of the (S,) table costs ~9 ms/batch-8 (measured)
         return (

@@ -116,13 +116,20 @@ def superpixel_moments_fused(
 
 
 # ---------------------------------------------------------------------------
-# Transposed-output variant — PRODUCTION at round-5 geometry
+# Transposed-output variant — measured EQUAL to XLA in context (round 5)
 # ---------------------------------------------------------------------------
 #
-# The round-5 config3 remedy (900 superpixels) flipped the trade the
-# STATUS note above records: at S=925 the XLA one-hot matmul's HBM
-# traffic is ~286 MB/image (measured 17.7 ms/batch-8, exp_config3_stages
-# 2026-08-20 — 5x its S=384 cost), while the kernel's cost is MXU issue.
+# STATUS: NOT production. Built when the round-5 remedy geometry (S=925)
+# made the standalone moments probe read 17.7 ms/batch-8; the production
+# e2e A/B then measured this kernel, the NHWC variant below and the XLA
+# one-hot matmul within 0.1 MP/s of each other (57.1, bench config3) —
+# the probe's cost was actually the affinity median's TPU sort (fixed by
+# the strided subsample in models/graph.py). Kept with parity tests as
+# the measured record; the analysis below explains why the kernel's own
+# cost IS competitive at this S:
+#
+# At S=925 the XLA one-hot matmul's HBM traffic is ~286 MB/image, while
+# the kernel's cost is MXU issue.
 # The old kernel's 3.2x waste was the OUTPUT lane dim (d+1 = 40 -> 128
 # pad); this variant contracts the pixel chunk on the LANE axis of both
 # operands (the EM kernel's dot_t pattern) so the output is

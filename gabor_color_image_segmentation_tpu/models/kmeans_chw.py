@@ -552,7 +552,7 @@ def _maximin_init_chw(xe, xc4, a, b_aff, k: int, hb: int, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def _affine_params(xe, xc4, cluster_cfg, eps: float):
+def _affine_params(xe, xc4, cluster_cfg, eps: float, pooled=None):
     """Per-row standardization affine over raw CHW buffers: x = a*r + b.
 
     xe: (B, E, H, W) or a tuple of per-group (B, E_g, H, W) buffers (the
@@ -575,7 +575,8 @@ def _affine_params(xe, xc4, cluster_cfg, eps: float):
             [jnp.ones((b, e), f32), jnp.full((b, 3), cw, f32)], axis=1
         )
         return fold_coherence_affine(
-            a, jnp.zeros((b, e + 3), f32), groups, xc4, cluster_cfg, eps
+            a, jnp.zeros((b, e + 3), f32), groups, xc4, cluster_cfg, eps,
+            pooled=pooled,
         )
 
     def moments(x):
@@ -595,7 +596,9 @@ def _affine_params(xe, xc4, cluster_cfg, eps: float):
         fold_coherence_affine,
     )
 
-    return fold_coherence_affine(a, bb, groups, xc4, cluster_cfg, eps)
+    s_full = jnp.concatenate([s_e, s_c], axis=1)
+    return fold_coherence_affine(a, bb, groups, xc4, cluster_cfg, eps,
+                                 pooled=pooled, s_full=s_full)
 
 
 def build_color4(color: jnp.ndarray, dtype) -> jnp.ndarray:

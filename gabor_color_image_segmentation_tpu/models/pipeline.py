@@ -190,7 +190,15 @@ def segment_chw_grouped(
     multigrid = pooled_e is not None
     with jax.named_scope("assemble"):
         xc4 = build_color4(color, dtype)
-        affine = _affine_params(energies_cm, xc4, cfg.cluster, 1e-6)
+        # the kernel's 2x2 twins seed the coherence fold's 8x8 block
+        # means (round-5 fast statistics — the full-res reshape route
+        # cost config1 ~30 ms/op); color twin computed here and reused
+        # by the multigrid warmup below
+        pc0 = _pool2x2_cm(xc4) if multigrid else None
+        pooled_stats = (tuple(pooled_e), pc0) if multigrid else None
+        affine = _affine_params(
+            energies_cm, xc4, cfg.cluster, 1e-6, pooled=pooled_stats
+        )
     c0 = None
     if multigrid:
         # multigrid warmup in the xt layout: the pooled buffer is 1/4
@@ -202,7 +210,7 @@ def segment_chw_grouped(
         # grids pool the kernel's 2x2 twin with the exact MXU pooling
         # matmuls (2x2 means of 2x2 means = 4x4 means; golden mirrors).
         e = sum(g.shape[1] for g in energies_cm)
-        pe_l, pc_l, hc, wc = pooled_e, _pool2x2_cm(xc4), h // 2, w // 2
+        pe_l, pc_l, hc, wc = pooled_e, pc0, h // 2, w // 2
         levels = [(pe_l, pc_l)]  # CHW pooled twins, finest first
         for _ in range(lvl - 1):
             pe_l = tuple(_pool2x2_cm(g) for g in pe_l)
@@ -403,7 +411,23 @@ def segment_batch(
             # on the grid the graph stage actually clusters. The pooling
             # rides inside compute_energies (per-window on the tiled path
             # — see its docstring for the round-5 measurement).
-            energies, color = compute_energies(rgb, cfg, bank, pool=p)
+            fcfg = cfg
+            if cfg.feature_impl == "auto" and (
+                b == 1 or cfg.dtype == "float32"
+            ):
+                # The Pallas feature kernel co-resident with the graph
+                # stage in ONE program deterministically CRASHES the axon
+                # TPU worker at BATCH 1 (any dtype — bisect 2026-08-20:
+                # every pairwise stage subset runs, batch >= 2 runs, only
+                # the batch-1 full co-residency faults; "TPU worker
+                # process crashed", CLAUDE.md landmine). Batch-1 is the
+                # non-throughput case, and for fp32 parity mode the exact
+                # modulated XLA formulation is the more parity-grade
+                # choice anyway — consistent with the dtype-aware
+                # slic/eig resolution. Production bf16 batches keep the
+                # fused kernel.
+                fcfg = cfg.replace(feature_impl="modulated")
+            energies, color = compute_energies(rgb, fcfg, bank, pool=p)
             same = cfg.color_space == "lab"
             lab = color if same else _color_transform(rgb, "lab")
             for _ in range(p):

@@ -233,7 +233,8 @@ def coherence_weights(feats: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def coherence_weights_cm(
-    groups, color_cm: jnp.ndarray, a: jnp.ndarray, eps: float = 1e-6
+    groups, color_cm: jnp.ndarray, a: jnp.ndarray, eps: float = 1e-6,
+    pooled=None, s_full: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Coherence weights from RAW channel-major buffers — the fast-path
     form that lets the transposed/CHW pipelines FOLD cue_weight="coherence"
@@ -249,7 +250,22 @@ def coherence_weights_cm(
     with affines, so std(blockmean(std-space))/std(std-space) =
     (a*std(blockmean(raw))) / (a*std(raw)); carrying ``a`` through keeps
     even the eps regularizer at the NHWC formula's scale. Identity (ones)
-    when the image is too small to pool — the NHWC rule."""
+    when the image is too small to pool — the NHWC rule.
+
+    Round-5 perf rework (the fold cost config1 ~30 ms/op at batch 16 —
+    the 8x8 block means via a 6-D reshape LANE-SPLIT the full-res 243-
+    channel tensor, a multi-GB relayout): block means now ride the
+    measured-cheap _pool2x2_cm MXU pooling matmuls, seeded by the
+    caller's 2x2 twins when available (``pooled`` = (group twins tuple,
+    color twin) — 2x2 means of 2x2 means are exact 4x/8x means), and the
+    full-res stds are REUSED from the standardization moments
+    (``s_full`` (B, D)) instead of a second full-res pass. Two measured
+    deltas vs the NHWC formula, both inside the coherence heuristic's
+    tolerance (weights feed a ^p cue re-weighting, and the production
+    decision swept a 4x sigma range): _pool2x2_cm rounds intermediate
+    block sums to bf16 (~1e-3 relative on the block means), and s_full
+    is the FULL-image std where the NHWC formula crops to the 8x8-
+    divisible prefix (<= 0.4% of pixels at 321x481)."""
     n = _COH_BLOCK
     bufs = list(groups) + [color_cm[:, :3]]
     b, _, h, w = bufs[0].shape
@@ -257,36 +273,47 @@ def coherence_weights_cm(
     d = sum(x.shape[1] for x in bufs)
     if hb < 2 or wb < 2:
         return jnp.ones((b, d), jnp.float32)
-    sp_, sf_ = [], []
-    for buf in bufs:
-        c = buf.shape[1]
-        f = buf[:, :, : hb * n, : wb * n].astype(jnp.float32)
-        p = jnp.mean(f.reshape(b, c, hb, n, wb, n), axis=(3, 5))
-        pm = jnp.mean(p, axis=(2, 3))
+    if pooled is not None:
+        pg, pc = pooled
+        pbufs = list(pg) + [pc[:, :3]]
+    else:
+        pbufs = [_pool2x2_cm(x) for x in bufs]
+    sp_ = []
+    for q in pbufs:
+        q = _pool2x2_cm(_pool2x2_cm(q[:, :, : 4 * hb, : 4 * wb]))
+        qf = q.astype(jnp.float32)  # (B, C, hb, wb) 8x8 block means
+        pm = jnp.mean(qf, axis=(2, 3))
         pv = jnp.maximum(
-            jnp.mean(jnp.square(p), axis=(2, 3)) - jnp.square(pm), 0.0
-        )
-        fm = jnp.mean(f, axis=(2, 3))
-        fv = jnp.maximum(
-            jnp.mean(jnp.square(f), axis=(2, 3)) - jnp.square(fm), 0.0
+            jnp.mean(jnp.square(qf), axis=(2, 3)) - jnp.square(pm), 0.0
         )
         sp_.append(jnp.sqrt(pv))
-        sf_.append(jnp.sqrt(fv))
     sp = jnp.concatenate(sp_, axis=1)  # (B, D)
-    sf = jnp.concatenate(sf_, axis=1)
+    if s_full is not None:
+        sf = s_full
+    else:
+        sf_ = []
+        for buf in bufs:
+            f = buf[:, :, : hb * n, : wb * n].astype(jnp.float32)
+            fm = jnp.mean(f, axis=(2, 3))
+            fv = jnp.maximum(
+                jnp.mean(jnp.square(f), axis=(2, 3)) - jnp.square(fm), 0.0
+            )
+            sf_.append(jnp.sqrt(fv))
+        sf = jnp.concatenate(sf_, axis=1)
     return (a * sp) / (a * sf + eps)
 
 
 def fold_coherence_affine(
     a: jnp.ndarray, b_aff: jnp.ndarray, groups, color_cm, cluster_cfg,
-    eps: float = 1e-6,
+    eps: float = 1e-6, pooled=None, s_full=None,
 ):
     """Fold cue_weight="coherence" into a standardization affine (a, b):
     normalized-and-weighted = raw * (a*c^p) + (b*c^p). No-op for
-    cue_weight="static"."""
+    cue_weight="static". ``pooled``/``s_full`` pass through to
+    coherence_weights_cm (the round-5 fast statistics)."""
     if getattr(cluster_cfg, "cue_weight", "static") != "coherence":
         return a, b_aff
-    c = coherence_weights_cm(groups, color_cm, a, eps)
+    c = coherence_weights_cm(groups, color_cm, a, eps, pooled, s_full)
     p = float(getattr(cluster_cfg, "coherence_pow", 1.0))
     w = c if p == 1.0 else c ** p
     return a * w, b_aff * w
@@ -326,9 +353,10 @@ def assemble_features_t(
     e_t = energies_cm.reshape(b, e, n)
     color_cm = jnp.transpose(color, (0, 3, 1, 2))
     c_t = color_cm.reshape(b, 3, n)
-    a_e, b_e, a_c, b_c = _norm_affine(e_t, c_t, cluster_cfg, eps)
+    a_e, b_e, a_c, b_c, s_full = _norm_affine(e_t, c_t, cluster_cfg, eps)
     a_e, b_e, a_c, b_c = _fold_coherence_parts(
-        a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps
+        a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps,
+        s_full=s_full,
     )
     # NO concat of energies+color (materializing the fused buffer measured
     # ~3 ms extra) and normalization folded into one fma per part: two
@@ -345,7 +373,8 @@ def assemble_features_t(
 
 
 def _fold_coherence_parts(
-    a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps
+    a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps,
+    pooled=None, s_full=None,
 ):
     """fold_coherence_affine for the split (energy, color) affine parts of
     _norm_affine ((B, E, 1) / (B, 3, 1) shapes). No-op for static."""
@@ -357,7 +386,9 @@ def _fold_coherence_parts(
         [jnp.broadcast_to(a_e, (b, e, 1))[:, :, 0],
          jnp.broadcast_to(a_c, (b, 3, 1))[:, :, 0]], axis=1
     )
-    c = coherence_weights_cm((energies_cm,), color_cm, a_full, eps)
+    c = coherence_weights_cm(
+        (energies_cm,), color_cm, a_full, eps, pooled, s_full
+    )
     p = float(getattr(cluster_cfg, "coherence_pow", 1.0))
     w = (c if p == 1.0 else c ** p)[:, :, None]  # (B, D, 1)
     return (
@@ -367,7 +398,9 @@ def _fold_coherence_parts(
 
 def _norm_affine(e_t: jnp.ndarray, c_t: jnp.ndarray, cluster_cfg, eps):
     """Per-row affine (a, b) folding standardization + color weighting:
-    normalized = raw * a + b. e_t: (B, E, N); c_t: (B, 3, N)."""
+    normalized = raw * a + b. e_t: (B, E, N); c_t: (B, 3, N). Returns
+    (a_e, b_e, a_c, b_c, s_full) with s_full the (B, D) raw stds (None
+    when normalize is off) for reuse by the coherence fold."""
     e = e_t.shape[1]
     cw = cluster_cfg.color_weight * float(np.sqrt(e / 3.0))
     if cluster_cfg.normalize:
@@ -383,10 +416,12 @@ def _norm_affine(e_t: jnp.ndarray, c_t: jnp.ndarray, cluster_cfg, eps):
         m_c, s_c = moments(c_t)
         a_e = 1.0 / (s_e + eps)
         a_c = cw / (s_c + eps)
-        return a_e, -m_e * a_e, a_c, -m_c * a_c
+        s_full = jnp.concatenate([s_e[:, :, 0], s_c[:, :, 0]], axis=1)
+        return a_e, -m_e * a_e, a_c, -m_c * a_c, s_full
     ones = jnp.ones((1, e, 1), jnp.float32)
     zeros = jnp.zeros((1, e, 1), jnp.float32)
-    return ones, zeros, jnp.full((1, 3, 1), cw, jnp.float32), zeros[:, :3]
+    return (ones, zeros, jnp.full((1, 3, 1), cw, jnp.float32), zeros[:, :3],
+            None)
 
 
 def assemble_xp_from_affine(
@@ -493,16 +528,17 @@ def assemble_features_t_pooled(
     e_t = energies_cm.reshape(b, e, n)
     color_cm = jnp.transpose(color, (0, 3, 1, 2))
     c_t = color_cm.reshape(b, 3, n)
-    a_e, b_e, a_c, b_c = _norm_affine(e_t, c_t, cluster_cfg, eps)
-    a_e, b_e, a_c, b_c = _fold_coherence_parts(
-        a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps
-    )
-
     # pool the KERNEL OUTPUT directly (contiguous) — pooling a concatenated
     # feats buffer forces XLA to materialize + relayout it (measured ~29 ms
-    # extra at config1 scale)
+    # extra at config1 scale); the twins also seed the coherence fold's
+    # 8x8 block means (round-5 fast statistics)
     pooled_e = _pool2x2_cm(energies_cm)
     pooled_c = _pool2x2_cm(color_cm)
+    a_e, b_e, a_c, b_c, s_full = _norm_affine(e_t, c_t, cluster_cfg, eps)
+    a_e, b_e, a_c, b_c = _fold_coherence_parts(
+        a_e, b_e, a_c, b_c, energies_cm, color_cm, cluster_cfg, eps,
+        pooled=((pooled_e,), pooled_c), s_full=s_full,
+    )
     m = pooled_e.shape[2] * pooled_e.shape[3]
     pe_t = pooled_e.reshape(b, e, m)
     pc_t = pooled_c.reshape(b, 3, m)

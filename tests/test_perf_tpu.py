@@ -3,8 +3,9 @@
 These tests run ONLY when a real TPU backend is attached (the CPU CI suite
 skips them): they assert end-to-end MP/s/chip floors well below the measured
 numbers (BASELINE.md) so genuine regressions trip them but tunnel jitter
-does not. Measured 2026-08-18/20 on v5 lite (iters=50 methodology):
-config0 169.9, config1 90.7, config2 86.6, config3 63.8, config4 128.4.
+does not. Measured 2026-08-20 round-5 HEAD on v5 lite (iters=50
+methodology): config0 159.9, config1 89.0, config2 85.4, config3 56.2,
+config4 180.8.
 
 NOTE: tests/conftest.py forces the CPU backend for the rest of the suite;
 this module must re-select the TPU explicitly, so it spawns a subprocess
@@ -18,16 +19,18 @@ import sys
 
 import pytest
 
-# ~80% of the 2026-08-20 round-4 HEAD measurements at the iters=50 bench
-# methodology (169.4 / 90.6 / 86.6 / 63.8 / 128.4-at-batch-5 with the cut
-# chain): tight enough to catch a real regression, loose enough for tunnel
-# jitter.
+# ~80% of the 2026-08-20 round-5 HEAD measurements at the iters=50 bench
+# methodology (exp_r5_repin.py: 159.9 / 89.0 / 85.4 / 56.2 /
+# 180.8-at-batch-5 — config0/1 on the coherence^4 quality default,
+# config3 on the boundary-F remedy preset, config4 with per-window
+# pooling): tight enough to catch a real regression, loose enough for
+# tunnel jitter.
 _FLOORS = {
-    "config0": 135.0,
-    "config1": 72.0,
-    "config2": 69.0,
-    "config3": 51.0,
-    "config4": 103.0,
+    "config0": 128.0,
+    "config1": 71.0,
+    "config2": 68.0,
+    "config3": 45.0,
+    "config4": 144.0,
 }
 _AXON = "/root/.axon_site"
 
