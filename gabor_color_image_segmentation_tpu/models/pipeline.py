@@ -154,6 +154,7 @@ def segment_chw_grouped(
     energies_cm,
     pooled_e,
     cfg: PipelineConfig,
+    fold_twin=None,
 ) -> jnp.ndarray:
     """Relayout-free CHW kmeans on precomputed grouped energy buffers.
 
@@ -192,10 +193,12 @@ def segment_chw_grouped(
         xc4 = build_color4(color, dtype)
         # the kernel's 2x2 twins seed the coherence fold's 8x8 block
         # means (round-5 fast statistics — the full-res reshape route
-        # cost config1 ~30 ms/op); color twin computed here and reused
-        # by the multigrid warmup below
-        pc0 = _pool2x2_cm(xc4) if multigrid else None
-        pooled_stats = (tuple(pooled_e), pc0) if multigrid else None
+        # cost config1 ~30 ms/op); ``fold_twin`` supplies them even
+        # without the multigrid warmup (config0 + coherence). The color
+        # twin is computed here and reused by the warmup below.
+        twin = fold_twin if fold_twin is not None else pooled_e
+        pc0 = _pool2x2_cm(xc4) if (multigrid or twin is not None) else None
+        pooled_stats = (tuple(twin), pc0) if twin is not None else None
         affine = _affine_params(
             energies_cm, xc4, cfg.cluster, 1e-6, pooled=pooled_stats
         )
@@ -274,9 +277,18 @@ def _segment_batch_transposed(
         chw and cfg.cluster.coarse_iters > 0
         and h >= max(4, 1 << lvl) and w >= max(4, 1 << lvl)
     )
+    # the coherence fold's fast statistics want the kernel's 2x2 twin even
+    # without the multigrid warmup (config0: coherence^4 default, no
+    # coarse schedule) — the fallback's extra full-res _pool2x2_cm level
+    # costs ~0.6 ms/op where the in-kernel twin is nearly free
+    want_twin = multigrid or (
+        chw
+        and getattr(cfg.cluster, "cue_weight", "static") == "coherence"
+        and h >= 16 and w >= 16
+    )
     with jax.named_scope("features"):
         color = _color_transform(rgb, cfg.color_space)
-        if multigrid:
+        if want_twin:
             # the kernel emits the 2x2-pooled multigrid twin in the same
             # VMEM pass (pre-pooled smoothing Toeplitz) — a standalone
             # pooling pass measured ~8 ms/batch-16 at config1 scale.
@@ -293,7 +305,8 @@ def _segment_batch_transposed(
             )
     if chw:
         return segment_chw_grouped(
-            color, energies_cm, pooled_e if multigrid else None, cfg
+            color, energies_cm, pooled_e if multigrid else None, cfg,
+            fold_twin=pooled_e if want_twin else None,
         )
     e = energies_cm.shape[1]
     dp, n_pad, _ = xt_geometry(h * w, e + 3, dtype)

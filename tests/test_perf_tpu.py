@@ -4,7 +4,7 @@ These tests run ONLY when a real TPU backend is attached (the CPU CI suite
 skips them): they assert end-to-end MP/s/chip floors well below the measured
 numbers (BASELINE.md) so genuine regressions trip them but tunnel jitter
 does not. Measured 2026-08-20 round-5 HEAD on v5 lite (iters=50
-methodology): config0 159.9, config1 89.0, config2 85.4, config3 56.2,
+methodology): config0 162.2, config1 89.0, config2 85.4, config3 56.2,
 config4 180.8.
 
 NOTE: tests/conftest.py forces the CPU backend for the rest of the suite;
