@@ -94,7 +94,7 @@ def main():
             f"np.save({out!r}, np.asarray(labels))\n"
         )
         subprocess.run([sys.executable, "-c", code], check=True,
-                       env=dict(os.environ), timeout=1200)
+                       env=dict(os.environ), timeout=3000)
         arr = np.load(out)
         os.unlink(out)
         return arr
